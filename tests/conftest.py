@@ -1,0 +1,38 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip sharding code paths are exercised on CPU via
+``--xla_force_host_platform_device_count=8`` (no TPU hardware needed for
+correctness tests); benchmarks run separately on real TPU hardware.
+These env vars must be set before jax is imported anywhere.
+"""
+
+import os
+
+# force CPU: the ambient environment may pin JAX_PLATFORMS to a TPU platform
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# this jax build re-appends the ambient TPU platform at import time; pin the
+# config explicitly (must happen before the first backend query)
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+REFERENCE_DATA = "/root/reference/data"
+
+
+def reference_data_available() -> bool:
+    return os.path.isdir(REFERENCE_DATA)

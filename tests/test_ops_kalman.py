@@ -1,0 +1,162 @@
+"""Kalman core: sequential scan vs float64 numpy oracle vs parallel prefix scan."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from eks_tpu.ops.kalman import kalman_filter, kalman_smoother
+from eks_tpu.ops.pkalman import kalman_filter_parallel, kalman_smoother_parallel
+
+
+# --------------------------------------------------------------------- #
+# float64 numpy oracle with the exact update conventions of the core
+# --------------------------------------------------------------------- #
+def oracle_filter_smoother(ys, m0, S0, A, Q, C, r):
+    T, O = ys.shape
+    D = m0.shape[0]
+    r = np.broadcast_to(r, (T, O))
+    ll = 0.0
+    m_pred, P_pred = m0.astype(np.float64), S0.astype(np.float64)
+    ms = np.zeros((T, D))
+    Ps = np.zeros((T, D, D))
+    for t in range(T):
+        R = np.diag(r[t])
+        S = C @ P_pred @ C.T + R
+        resid = ys[t] - C @ m_pred
+        chol = np.linalg.cholesky(S)
+        z = np.linalg.solve(chol, resid)
+        ll += (
+            -0.5 * z @ z
+            - np.log(np.diag(chol)).sum()
+            - 0.5 * O * np.log(2 * np.pi)
+        )
+        K = np.linalg.solve(S, C @ P_pred).T
+        m_filt = m_pred + K @ resid
+        P_filt = P_pred - K @ S @ K.T
+        ms[t], Ps[t] = m_filt, P_filt
+        m_pred = A @ m_filt
+        P_pred = A @ P_filt @ A.T + Q
+    # RTS backward
+    sm = ms.copy()
+    sP = Ps.copy()
+    for t in range(T - 2, -1, -1):
+        m_pred = A @ ms[t]
+        P_pred = Q + A @ Ps[t] @ A.T
+        G = np.linalg.solve(P_pred, A @ Ps[t]).T
+        sm[t] = ms[t] + G @ (sm[t + 1] - m_pred)
+        sP[t] = Ps[t] + G @ (sP[t + 1] - P_pred) @ G.T
+    return ll, ms, Ps, sm, sP
+
+
+def make_problem(rng, T=200, D=2, O=2, ar=0.95):
+    A = ar * np.eye(D)
+    Q = 0.3 * np.eye(D)
+    C = rng.normal(size=(O, D)) if O != D else np.eye(O)
+    m0 = rng.normal(size=D)
+    S0 = np.diag(rng.uniform(0.5, 2.0, size=D))
+    # simulate
+    x = np.zeros((T, D))
+    x[0] = m0
+    for t in range(1, T):
+        x[t] = A @ x[t - 1] + rng.normal(size=D) * np.sqrt(0.3)
+    r = rng.uniform(0.05, 2.0, size=(T, O))
+    ys = x @ C.T + rng.normal(size=(T, O)) * np.sqrt(r)
+    return ys, m0, S0, A, Q, C, r
+
+
+@pytest.mark.parametrize("D,O", [(2, 2), (3, 6), (3, 8)])
+def test_sequential_matches_oracle_f64(rng, D, O):
+    # exact-convention check in float64: must agree to near machine precision
+    import jax
+
+    ys, m0, S0, A, Q, C, r = make_problem(rng, T=150, D=D, O=O)
+    ll_o, ms_o, Ps_o, sm_o, sP_o = oracle_filter_smoother(ys, m0, S0, A, Q, C, r)
+
+    with jax.enable_x64():
+        args = [jnp.asarray(a, dtype=jnp.float64) for a in (ys, m0, S0, A, Q)]
+        res = kalman_smoother(
+            *args,
+            C=jnp.asarray(C, dtype=jnp.float64),
+            r_diag=jnp.asarray(r, dtype=jnp.float64),
+        )
+        ll = float(res.log_likelihood)
+        fm = np.array(res.filtered_means)
+        sm = np.array(res.smoothed_means)
+        sP = np.array(res.smoothed_covs)
+    np.testing.assert_allclose(ll, ll_o, rtol=1e-8)
+    np.testing.assert_allclose(fm, ms_o, atol=1e-7)
+    np.testing.assert_allclose(sm, sm_o, atol=1e-7)
+    np.testing.assert_allclose(sP, sP_o, atol=1e-7)
+
+
+def test_sequential_matches_oracle_f32_loose(rng):
+    # float32 production path drifts from the f64 oracle only within
+    # accumulated-rounding tolerance
+    ys, m0, S0, A, Q, C, r = make_problem(rng, T=150, D=2, O=2)
+    ll_o, ms_o, _, sm_o, _ = oracle_filter_smoother(ys, m0, S0, A, Q, C, r)
+    args = [jnp.asarray(a) for a in (ys, m0, S0, A, Q)]
+    res = kalman_smoother(*args, C=jnp.asarray(C), r_diag=jnp.asarray(r))
+    np.testing.assert_allclose(float(res.log_likelihood), ll_o, rtol=1e-3)
+    np.testing.assert_allclose(np.array(res.filtered_means), ms_o, atol=2e-2)
+    np.testing.assert_allclose(np.array(res.smoothed_means), sm_o, atol=2e-2)
+
+
+@pytest.mark.parametrize("D,O", [(2, 2), (3, 6)])
+@pytest.mark.parametrize("T", [1, 2, 3, 37, 256])
+def test_parallel_matches_sequential(rng, D, O, T):
+    ys, m0, S0, A, Q, C, r = make_problem(rng, T=T, D=D, O=O)
+    args = [jnp.asarray(a) for a in (ys, m0, S0, A, Q)]
+    seq = kalman_smoother(*args, C=jnp.asarray(C), r_diag=jnp.asarray(r))
+    par = kalman_smoother_parallel(*args, jnp.asarray(C), jnp.asarray(r))
+
+    np.testing.assert_allclose(
+        float(par.log_likelihood), float(seq.log_likelihood), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.array(par.filtered_means), np.array(seq.filtered_means), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.array(par.filtered_covs), np.array(seq.filtered_covs), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.array(par.smoothed_means), np.array(seq.smoothed_means), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.array(par.smoothed_covs), np.array(seq.smoothed_covs), atol=2e-3
+    )
+
+
+def test_parallel_long_sequence_stability(rng):
+    # 10k frames, tiny/huge variance extremes as produced by ensemble()'s
+    # nan_replacement=1000 and the 1e-12 variance floor
+    ys, m0, S0, A, Q, C, r = make_problem(rng, T=10_000, D=2, O=2)
+    r[100:110] = 1000.0
+    r[200:210] = 1e-6
+    args = [jnp.asarray(a) for a in (ys, m0, S0, A, Q)]
+    seq = kalman_filter(*args, C=jnp.asarray(C), r_diag=jnp.asarray(r))
+    par = kalman_filter_parallel(*args, jnp.asarray(C), jnp.asarray(r))
+    np.testing.assert_allclose(
+        float(par.log_likelihood), float(seq.log_likelihood), rtol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.array(par.filtered_means), np.array(seq.filtered_means), atol=5e-3
+    )
+
+
+def test_nonlinear_emission_matches_linear():
+    # h(x) = Cx given as a callable must reproduce the linear path exactly
+    rng = np.random.default_rng(1)
+    ys, m0, S0, A, Q, C, r = make_problem(rng, T=50, D=3, O=6)
+    args = [jnp.asarray(a) for a in (ys, m0, S0, A, Q)]
+    Cj = jnp.asarray(C)
+    lin = kalman_smoother(*args, C=Cj, r_diag=jnp.asarray(r))
+    nonlin = kalman_smoother(
+        *args, r_diag=jnp.asarray(r), h_fn=lambda x: Cj @ x
+    )
+    np.testing.assert_allclose(
+        np.array(lin.smoothed_means), np.array(nonlin.smoothed_means), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(lin.log_likelihood), float(nonlin.log_likelihood), rtol=1e-6
+    )
