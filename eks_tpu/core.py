@@ -1,0 +1,425 @@
+"""Core ensemble statistics and smoothing-parameter optimization.
+
+TPU-first redesign of the reference pipeline (eks/core.py):
+
+  * ``ensemble`` — one jitted consensus + variance kernel over the whole
+    (models, cameras, frames, keypoints) block.
+  * ``run_kalman_smoother`` — public driver: builds per-keypoint observation
+    noise from ensemble variances, tunes the process-noise scale ``s`` per
+    block of keypoints by minimizing summed filter NLL, then runs the final
+    smoothing pass with time-varying R.
+  * The optimizer is ONE jitted program for any block structure: blocks are
+    padded to the max member count and vmapped, so the reference's slow
+    per-block-Python-loop path (eks/core.py:403-559) and fast singleton path
+    (eks/core.py:562-699) collapse into a single compilation.
+  * The filter inside the loss and the final smoother default to the
+    O(log T)-depth parallel-prefix implementation (ops/pkalman.py); the
+    sequential scan is kept for the nonlinear (calibrated-projection) path
+    and as a parity oracle.
+
+Exact reference semantics preserved (for output parity):
+  * ensemble: median/mean consensus; confidence-weighted variance
+    ``nanvar/mean_conf``; n_models==1 fallback ``1/max(conf,1e-5)``; NaN
+    variance -> ``nan_replacement`` (eks/core.py:54-99).
+  * s init: std of frame-to-frame ensemble-variance diffs over the first
+    2000 frames, rounded to 5 dp, fallback 2.0 (eks/core.py:104-133,233-236).
+  * optimizer: loss uses frames cropped by ``s_frames`` and a CONSTANT
+    diagonal R = median-over-time of the ensemble variances floored at
+    ``min_R_var=1e-4`` (eks/core.py:419,702-709), while the final smoother
+    uses full-length time-varying R — this asymmetry is deliberate.
+  * Adam(1.0) on lr-scaled gradients of NLL w.r.t. log(s) clipped to ±8,
+    early stop when |loss - prev| < tol*|log(max(prev,1e-12))| + 1e-6, hard
+    cap 300 iterations (eks/core.py:513-549).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Callable, Literal, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax, value_and_grad, vmap
+
+from eks_tpu.marker_array import MarkerArray
+from eks_tpu.ops.kalman import kalman_filter, kalman_smoother
+from eks_tpu.ops.linalg import highest_precision
+from eks_tpu.ops.pkalman import kalman_filter_parallel, kalman_smoother_parallel
+from eks_tpu.utils import crop_frames
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "ensemble",
+    "compute_initial_guesses",
+    "run_kalman_smoother",
+    "optimize_smooth_param",
+    "constant_R_from_timevarying",
+]
+
+
+# --------------------------------------------------------------------------- #
+# ensemble statistics
+# --------------------------------------------------------------------------- #
+def ensemble(
+    marker_array: MarkerArray,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    nan_replacement: float = 1000.0,
+) -> MarkerArray:
+    """Ensemble consensus and variance over the models axis.
+
+    Input fields ``[x, y, likelihood]`` with shape (M, C, T, K, 3); output is
+    a (1, C, T, K, 5) MarkerArray with fields
+    ``[x, y, var_x, var_y, likelihood]`` where likelihood is the mean model
+    confidence. Semantics mirror the reference exactly (eks/core.py:25-101).
+    """
+    n_models = marker_array.shape[0]
+
+    data_x = jnp.asarray(np.squeeze(marker_array.slice_fields("x").array, axis=-1))
+    data_y = jnp.asarray(np.squeeze(marker_array.slice_fields("y").array, axis=-1))
+    data_lh = jnp.asarray(
+        np.squeeze(marker_array.slice_fields("likelihood").array, axis=-1)
+    )
+
+    stats = _ensemble_kernel(
+        data_x, data_y, data_lh, n_models, avg_mode, var_mode, float(nan_replacement)
+    )
+    return MarkerArray(
+        np.asarray(stats)[None, ...],
+        data_fields=["x", "y", "var_x", "var_y", "likelihood"],
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@highest_precision
+def _ensemble_kernel(data_x, data_y, data_lh, n_models, avg_mode, var_mode, nan_rep):
+    avg_fn = jnp.nanmedian if avg_mode == "median" else jnp.nanmean
+    avg_x = avg_fn(data_x, axis=0)
+    avg_y = avg_fn(data_y, axis=0)
+
+    mean_conf = jnp.sum(data_lh, axis=0) / n_models
+
+    if n_models == 1:
+        single_var = 1.0 / jnp.maximum(mean_conf, 1e-5)
+        var_x = single_var
+        var_y = single_var
+    elif var_mode in ("conf_weighted_var", "confidence_weighted_var"):
+        var_x = jnp.nanvar(data_x, axis=0) / mean_conf
+        var_y = jnp.nanvar(data_y, axis=0) / mean_conf
+    else:
+        var_x = jnp.nanvar(data_x, axis=0)
+        var_y = jnp.nanvar(data_y, axis=0)
+
+    var_x = jnp.nan_to_num(var_x, nan=nan_rep)
+    var_y = jnp.nan_to_num(var_y, nan=nan_rep)
+    return jnp.stack([avg_x, avg_y, var_x, var_y, mean_conf], axis=-1)
+
+
+# --------------------------------------------------------------------------- #
+# s initialisation heuristic
+# --------------------------------------------------------------------------- #
+def compute_initial_guesses(ensemble_vars: np.ndarray | list) -> float:
+    """Initial guess for ``s``: std of frame-to-frame ensemble-variance
+    changes, clipped to the first 2000 frames, rounded to 5 dp
+    (reference: eks/core.py:104-133)."""
+    ev = np.asarray(ensemble_vars)[:2000]
+    if ev.shape[0] < 2:
+        raise ValueError("Not enough frames to compute temporal differences.")
+    diffs = ev[1:] - ev[:-1]
+    return float(round(np.nanstd(diffs), 5))
+
+
+def constant_R_from_timevarying(R_t_np: np.ndarray, min_var: float = 1e-4) -> np.ndarray:
+    """(T, O, O) time-varying R -> constant diagonal R via the median of the
+    per-step diagonals over time, floored at ``min_var``
+    (reference: eks/core.py:702-709)."""
+    diag_ts = np.diagonal(R_t_np, axis1=-2, axis2=-1)
+    med = np.clip(np.nanmedian(diag_ts, axis=0), min_var, np.inf)
+    return np.diag(med).astype(R_t_np.dtype)
+
+
+def _constant_r_from_vars(vars_t: np.ndarray, min_var: float = 1e-4) -> np.ndarray:
+    """(T, O) cropped+floored variances -> (O,) constant diagonal via the
+    time median, floored at ``min_var``. Diagonal-vector twin of
+    :func:`constant_R_from_timevarying`."""
+    return np.clip(np.nanmedian(vars_t, axis=0), min_var, np.inf)
+
+
+# --------------------------------------------------------------------------- #
+# the optimizer: one jitted padded-vmap program for any block structure
+# --------------------------------------------------------------------------- #
+def _filter_nll(y, m0, S0, A, Q, C, r, h_fn, sequential):
+    """Filter NLL for one sequence; non-finite -> 1e12 penalty
+    (reference guard: eks/core.py:471,502,650)."""
+    if h_fn is not None or sequential:
+        res = kalman_filter(y, m0, S0, A, Q, C=C, r_diag=r, h_fn=h_fn)
+    else:
+        res = kalman_filter_parallel(y, m0, S0, A, Q, C, r)
+    nll = -res.log_likelihood
+    return jnp.where(jnp.isfinite(nll), nll, 1e12)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("h_fn", "sequential", "lr", "s_lo", "s_hi", "tol", "safety_cap"),
+)
+@highest_precision
+def _optimize_blocks(
+    yB,  # (n_blocks, B_max, T', O)
+    rB,  # (n_blocks, B_max, O) constant diag R per member
+    m0B,  # (n_blocks, B_max, D)
+    S0B,  # (n_blocks, B_max, D, D)
+    AB,  # (n_blocks, B_max, D, D)
+    QB,  # (n_blocks, B_max, D, D)
+    CB,  # (n_blocks, B_max, O, D)
+    maskB,  # (n_blocks, B_max) 1.0 for real members, 0.0 for padding
+    s_log_init,  # (n_blocks,)
+    h_fn: Optional[Callable] = None,
+    sequential: bool = False,
+    lr: float = 0.25,
+    s_lo: float = -8.0,
+    s_hi: float = 8.0,
+    tol: float = 1e-2,
+    safety_cap: int = 300,
+):
+    """Tune one log(s) per block by Adam on the summed member filter NLLs.
+
+    Every block is one vmap lane; members are padded to the widest block and
+    masked out of the loss. Single compilation for any block structure.
+    """
+
+    def optimize_one(y_b, r_b, m0_b, S0_b, A_b, Q_b, C_b, mask_b, s_log0):
+        def loss_fn(s_log):
+            s = jnp.exp(jnp.clip(s_log, s_lo, s_hi))
+
+            def member_nll(y, r, m0, S0, A, Q, C):
+                return _filter_nll(y, m0, S0, A, s * Q, C, r, h_fn, sequential)
+
+            nlls = vmap(member_nll)(y_b, r_b, m0_b, S0_b, A_b, Q_b, C_b)
+            return jnp.sum(nlls * mask_b)
+
+        loss_and_grad = value_and_grad(loss_fn)
+        opt = optax.adam(1.0)
+        opt_state = opt.init(s_log0)
+
+        def cond(carry):
+            _, _, prev_loss, iters, done = carry
+            return jnp.logical_and(~done, iters < safety_cap)
+
+        def body(carry):
+            s_log, opt_state, prev_loss, iters, _ = carry
+            loss, grad = loss_and_grad(s_log)
+            updates, opt_state = opt.update(grad * lr, opt_state)
+            s_log = optax.apply_updates(s_log, updates)
+            rel_tol = tol * jnp.abs(jnp.log(jnp.maximum(prev_loss, 1e-12)))
+            stop = jnp.where(
+                jnp.isfinite(prev_loss),
+                jnp.abs(loss - prev_loss) < (rel_tol + 1e-6),
+                False,
+            )
+            return (s_log, opt_state, loss, iters + 1, stop)
+
+        s_log_f, _, last_loss, iters_f, _ = lax.while_loop(
+            cond,
+            body,
+            (s_log0, opt_state, jnp.inf, jnp.array(0), jnp.array(False)),
+        )
+        return s_log_f, last_loss, iters_f
+
+    return vmap(optimize_one)(yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init)
+
+
+def optimize_smooth_param(
+    ys: jnp.ndarray,  # (K, T, O)
+    m0s: jnp.ndarray,  # (K, D)
+    S0s: jnp.ndarray,  # (K, D, D)
+    As: jnp.ndarray,  # (K, D, D)
+    Cs: jnp.ndarray,  # (K, O, D)
+    Qs: jnp.ndarray,  # (K, D, D)
+    ensemble_vars: np.ndarray,  # (T, K, O)
+    blocks: list | None,
+    s_frames: list | None,
+    s_guess_per_k: np.ndarray,  # (K,)
+    lr: float = 0.25,
+    s_bounds_log: tuple = (-8.0, 8.0),
+    tol: float = 1e-2,
+    safety_cap: int = 300,
+    min_R_var: float = 1e-4,
+    h_fn: Optional[Callable] = None,
+    sequential: bool = False,
+) -> np.ndarray:
+    """Optimize ``s`` per block; returns per-keypoint ``s_finals`` (K,)."""
+    K = ys.shape[0]
+    if not blocks:
+        blocks = [[k] for k in range(K)]
+    logger.debug(f"correlated keypoint blocks: {blocks}")
+
+    ys_np = np.asarray(ys)
+    # per-step variances with the R floor applied (eks/utils.py:373)
+    vars_np = np.clip(np.swapaxes(np.asarray(ensemble_vars), 0, 1), 1e-12, None)
+
+    y_cropped, r_const = [], []
+    for k in range(K):
+        y_k = crop_frames(ys_np[k], s_frames) if s_frames else ys_np[k]
+        v_k = crop_frames(vars_np[k], s_frames) if s_frames else vars_np[k]
+        y_cropped.append(y_k)
+        r_const.append(_constant_r_from_vars(v_k, min_var=min_R_var))
+    y_cropped = np.stack(y_cropped)  # (K, T', O)
+    r_const = np.stack(r_const)  # (K, O)
+
+    # pad blocks to a rectangle; padding lanes reuse member 0 with zero mask
+    b_max = max(len(b) for b in blocks)
+    n_blocks = len(blocks)
+    idx = np.zeros((n_blocks, b_max), dtype=int)
+    mask = np.zeros((n_blocks, b_max), dtype=np.float32)
+    s_log_init = np.zeros(n_blocks, dtype=np.float32)
+    for i, b in enumerate(blocks):
+        idx[i, : len(b)] = b
+        idx[i, len(b):] = b[0]
+        mask[i, : len(b)] = 1.0
+        s0 = float(np.mean([s_guess_per_k[k] for k in b]))
+        s_log_init[i] = np.log(np.clip(s0, 1e-6, 1e3))
+
+    gather = lambda a: jnp.asarray(np.asarray(a)[idx])
+    s_lo, s_hi = s_bounds_log
+    s_log_f, last_loss, iters = _optimize_blocks(
+        gather(y_cropped),
+        gather(r_const),
+        gather(m0s),
+        gather(S0s),
+        gather(As),
+        gather(Qs),
+        gather(Cs),
+        jnp.asarray(mask),
+        jnp.asarray(s_log_init),
+        h_fn=h_fn,
+        sequential=sequential,
+        lr=float(lr),
+        s_lo=float(s_lo),
+        s_hi=float(s_hi),
+        tol=float(tol),
+        safety_cap=int(safety_cap),
+    )
+
+    s_log_f = np.asarray(s_log_f)
+    last_loss = np.asarray(last_loss)
+    iters = np.asarray(iters)
+    s_finals = np.empty(K, dtype=float)
+    for i, b in enumerate(blocks):
+        s_star = float(np.exp(np.clip(s_log_f[i], s_lo, s_hi)))
+        for k in b:
+            s_finals[k] = s_star
+        logger.debug(
+            f"[opt s | block {list(b)}] s={s_star:.6g}, "
+            f"iters={int(iters[i])}, NLL={float(last_loss[i]):.6f}"
+        )
+    return s_finals
+
+
+# --------------------------------------------------------------------------- #
+# final smoothing pass
+# --------------------------------------------------------------------------- #
+@partial(jax.jit, static_argnames=("h_fn", "sequential"))
+@highest_precision
+def _smooth_all(ys, m0s, S0s, As, Qs, Cs, s_finals, rs, h_fn=None, sequential=False):
+    def smooth_one(y, m0, S0, A, Q, C, s, r):
+        if h_fn is not None or sequential:
+            res = kalman_smoother(y, m0, S0, A, s * Q, C=C, r_diag=r, h_fn=h_fn)
+        else:
+            res = kalman_smoother_parallel(y, m0, S0, A, s * Q, C, r)
+        return res.smoothed_means, res.smoothed_covs
+
+    return vmap(smooth_one)(ys, m0s, S0s, As, Qs, Cs, s_finals, rs)
+
+
+def run_kalman_smoother(
+    ys: jnp.ndarray,  # (K, T, O)
+    m0s: jnp.ndarray,  # (K, D)
+    S0s: jnp.ndarray,  # (K, D, D)
+    As: jnp.ndarray,  # (K, D, D)
+    Cs: jnp.ndarray,  # (K, O, D)
+    Qs: jnp.ndarray,  # (K, D, D)
+    ensemble_vars: np.ndarray,  # (T, K, O)
+    s_frames: list | None = None,
+    smooth_param: float | list | None = None,
+    blocks: list | None = None,
+    lr: float = 0.25,
+    s_bounds_log: tuple = (-8.0, 8.0),
+    tol: float = 1e-2,
+    safety_cap: int = 300,
+    h_fn: Optional[Callable] = None,
+    sequential: bool = False,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tune ``s`` (unless given) and run the final smoother for K keypoints.
+
+    Linear model per keypoint unless ``h_fn`` is supplied:
+        ``x_{t+1} = A x_t + w_t``, ``y_t = C x_t + v_t``,
+        ``w ~ N(0, s Q)``, ``v_t ~ N(0, diag(ensemble_vars[t]))``.
+
+    Returns:
+        s_finals (K,), smoothed means (K, T, D), smoothed covs (K, T, D, D).
+    """
+    K, T, _ = ys.shape
+
+    # initial s guesses per keypoint (host; cheap)
+    ev = np.asarray(ensemble_vars)
+    s_guess = np.empty(K, dtype=float)
+    for k in range(K):
+        g = float(compute_initial_guesses(ev[:, k, :]) or 2.0)
+        s_guess[k] = g if (np.isfinite(g) and g > 0.0) else 2.0
+
+    if smooth_param is not None:
+        s_finals = np.empty(K, dtype=float)
+        if isinstance(smooth_param, (int, float)):
+            s_finals[:] = float(smooth_param)
+        else:
+            s_finals[:] = np.asarray(smooth_param, dtype=float)
+    else:
+        _t0 = time.perf_counter()
+        s_finals = optimize_smooth_param(
+            ys=ys,
+            m0s=m0s,
+            S0s=S0s,
+            As=As,
+            Cs=Cs,
+            Qs=Qs,
+            ensemble_vars=ev,
+            blocks=blocks,
+            s_frames=s_frames,
+            s_guess_per_k=s_guess,
+            lr=lr,
+            s_bounds_log=s_bounds_log,
+            tol=tol,
+            safety_cap=safety_cap,
+            h_fn=h_fn,
+            sequential=sequential,
+        )
+        logger.debug(
+            f"[profile]   optimize_smooth_param: {time.perf_counter() - _t0:.3f}s"
+        )
+
+    _t0 = time.perf_counter()
+    # time-varying diagonal R from ensemble variances, floored at 1e-12
+    rs = jnp.asarray(np.clip(np.swapaxes(ev, 0, 1), 1e-12, None))  # (K, T, O)
+    ms, Vs = _smooth_all(
+        jnp.asarray(ys),
+        jnp.asarray(m0s),
+        jnp.asarray(S0s),
+        jnp.asarray(As),
+        jnp.asarray(Qs),
+        jnp.asarray(Cs),
+        jnp.asarray(s_finals, dtype=rs.dtype),
+        rs,
+        h_fn=h_fn,
+        sequential=sequential,
+    )
+    logger.debug(
+        f"[profile]   final smoother pass ({K} keypoints): "
+        f"{time.perf_counter() - _t0:.3f}s"
+    )
+    return s_finals, np.asarray(ms), np.asarray(Vs)
