@@ -1,0 +1,269 @@
+"""Statistics: PCA, Factor Analysis, and Mahalanobis variance screening.
+
+First-party replacements for the reference's sklearn usage
+(reference: eks/stats.py:9-157):
+
+  * PCA — one batched, jitted JAX SVD over all keypoints at once (the
+    reference fits K separate sklearn PCAs in a Python loop). Component signs
+    follow sklearn PCA's ``svd_flip`` (v-based) so transformed values are
+    comparable; signs do not affect smoother outputs (the latent basis sign
+    cancels in reprojection).
+  * FactorAnalysis — the same SVD-based EM sklearn implements (Barber BRML
+    alg. 21.1): scale X by sqrt(psi)*sqrt(n), SVD, W = sqrt(max(s^2-1,0)) Vt
+    * sqrt(psi), psi = max(var - sum(W^2), 1e-12), stop when the loglike gain
+    drops below tol. Runs host-side in float64: it is a cold-path fit on a
+    few thousand rows, and parity with the reference's f64 sklearn fit
+    matters more than device placement here.
+  * Mahalanobis — fully vectorized over rows (the reference loops per frame);
+    per-view 2x2 posterior-predictive covariances and distances.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eks_tpu.marker_array import MarkerArray, mA_to_stacked_array
+from eks_tpu.ops.linalg import highest_precision
+
+__all__ = ["PCA", "compute_pca", "FactorAnalysis", "compute_mahalanobis"]
+
+
+# --------------------------------------------------------------------------- #
+# PCA
+# --------------------------------------------------------------------------- #
+@partial(jax.jit, static_argnums=(1,))
+@highest_precision
+def _pca_fit_batched(X: jnp.ndarray, n_components: int):
+    """Batched PCA fit: X (K, N, F) -> means (K, F), components (K, L, F)."""
+    means = jnp.mean(X, axis=1, keepdims=True)
+    Xc = X - means
+    u, s, vt = jnp.linalg.svd(Xc, full_matrices=False)
+    # sklearn PCA sign convention (svd_flip with u_based_decision=False):
+    # flip each component so its max-|v| loading is positive
+    max_idx = jnp.argmax(jnp.abs(vt), axis=-1)  # (K, F')
+    signs = jnp.sign(
+        jnp.take_along_axis(vt, max_idx[..., None], axis=-1)[..., 0]
+    )  # (K, F')
+    vt = vt * signs[:, :, None]
+    return means[:, 0, :], vt[:, :n_components, :]
+
+
+class PCA:
+    """Minimal PCA with the sklearn attribute surface used by this library:
+    ``fit``, ``transform``, ``components_`` (L, F), ``mean_`` (F,)."""
+
+    def __init__(self, n_components: int):
+        self.n_components = n_components
+        self.components_: np.ndarray | None = None
+        self.mean_: np.ndarray | None = None
+
+    def fit(self, X: np.ndarray) -> "PCA":
+        mean, comps = _pca_fit_batched(
+            jnp.asarray(X)[None], self.n_components
+        )
+        self.mean_ = np.asarray(mean)[0]
+        self.components_ = np.asarray(comps)[0]
+        return self
+
+    def transform(self, X: np.ndarray) -> np.ndarray:
+        assert self.components_ is not None, "PCA must be fit before transform."
+        return (np.asarray(X) - self.mean_) @ self.components_.T
+
+
+def compute_pca(
+    valid_frames_mask: np.ndarray,
+    emA_centered_preds: MarkerArray,
+    emA_good_centered_preds: MarkerArray,
+    n_components: int = 3,
+    pca_object: PCA | None = None,
+) -> tuple[list, list]:
+    """Per-keypoint PCA on variance-filtered centered frames.
+
+    Fit uses the (truncated, equal-length) good frames; the transform is then
+    applied to ALL frames and indexed by each keypoint's own good-frame set
+    (reference: eks/stats.py:9-64).
+
+    Returns:
+        (ensemble_pca, good_pcs_list) — one fitted PCA and one
+        (n_good_frames_k, n_components) array per keypoint.
+    """
+    n_models, n_cameras, n_frames, n_keypoints, _ = emA_centered_preds.shape
+    assert n_models == 1, "MarkerArray should have n_models = 1 after ensembling."
+
+    if pca_object is None:
+        # one batched fit for all keypoints (equal n_good after truncation)
+        X_good = np.stack(
+            [
+                mA_to_stacked_array(emA_good_centered_preds.slice("keypoints", k), 0)
+                for k in range(n_keypoints)
+            ]
+        )  # (K, N_good, 2C)
+        means, comps = _pca_fit_batched(jnp.asarray(X_good), n_components)
+        means, comps = np.asarray(means), np.asarray(comps)
+
+    ensemble_pca, good_pcs_list = [], []
+    for k in range(n_keypoints):
+        if pca_object is None:
+            pca_k = PCA(n_components)
+            pca_k.mean_ = means[k]
+            pca_k.components_ = comps[k]
+        else:
+            pca_k = pca_object
+        X_all_k = mA_to_stacked_array(emA_centered_preds.slice("keypoints", k), 0)
+        pcs = pca_k.transform(X_all_k)
+        good_idx = np.where(valid_frames_mask[:, k])[0]
+        ensemble_pca.append(pca_k)
+        good_pcs_list.append(pcs[good_idx])
+    return ensemble_pca, good_pcs_list
+
+
+# --------------------------------------------------------------------------- #
+# Factor Analysis
+# --------------------------------------------------------------------------- #
+class FactorAnalysis:
+    """SVD-based EM Factor Analysis with sklearn-compatible semantics.
+
+    Attributes after fit: ``components_`` (L, F), ``mean_`` (F,),
+    ``noise_variance_`` (F,), ``loglike_`` (list), ``n_iter_``.
+    """
+
+    def __init__(
+        self,
+        n_components: int,
+        tol: float = 1e-2,
+        max_iter: int = 1000,
+        noise_variance_init: np.ndarray | None = None,
+    ):
+        self.n_components = n_components
+        self.tol = tol
+        self.max_iter = max_iter
+        self.noise_variance_init = noise_variance_init
+
+    def fit(self, X: np.ndarray) -> "FactorAnalysis":
+        X = np.asarray(X, dtype=np.float64)
+        n_samples, n_features = X.shape
+        n_components = self.n_components
+
+        self.mean_ = X.mean(axis=0)
+        Xc = X - self.mean_
+
+        nsqrt = math.sqrt(n_samples)
+        llconst = n_features * math.log(2.0 * math.pi) + n_components
+        var = Xc.var(axis=0)
+        psi = (
+            np.ones(n_features)
+            if self.noise_variance_init is None
+            else np.asarray(self.noise_variance_init, dtype=np.float64)
+        )
+
+        SMALL = 1e-12
+        loglike: list[float] = []
+        old_ll = -np.inf
+        W = np.zeros((n_components, n_features))
+        for i in range(self.max_iter):
+            sqrt_psi = np.sqrt(psi) + SMALL
+            _, s, Vt = np.linalg.svd(Xc / (sqrt_psi * nsqrt), full_matrices=False)
+            unexp_var = float(np.sum(s[n_components:] ** 2))
+            s2 = s[:n_components] ** 2
+            W = np.sqrt(np.maximum(s2 - 1.0, 0.0))[:, None] * Vt[:n_components]
+            W *= sqrt_psi
+
+            ll = llconst + np.sum(np.log(s2)) + unexp_var + np.sum(np.log(psi))
+            ll *= -n_samples / 2.0
+            loglike.append(float(ll))
+            if (ll - old_ll) < self.tol:
+                break
+            old_ll = ll
+            psi = np.maximum(var - np.sum(W**2, axis=0), SMALL)
+
+        self.components_ = W
+        self.noise_variance_ = psi
+        self.loglike_ = loglike
+        self.n_iter_ = i + 1
+        return self
+
+
+# --------------------------------------------------------------------------- #
+# Mahalanobis
+# --------------------------------------------------------------------------- #
+def compute_mahalanobis(
+    x: np.ndarray,
+    v: np.ndarray,
+    n_latent: int = 3,
+    v_quantile_threshold: float | None = 50.0,
+    likelihoods: np.ndarray | None = None,
+    likelihood_threshold: float | None = 0.9,
+    epsilon: float | None = 1e-6,
+    loading_matrix: np.ndarray | None = None,
+    mean: np.ndarray | None = None,
+) -> dict:
+    """Mahalanobis distances and posterior predictive variances under a
+    linear latent model fitted by Factor Analysis.
+
+    Observations with high ensemble variance or low likelihood are excluded
+    from the FA fit; reconstructions/distances are computed for all rows
+    (reference: eks/stats.py:67-157).
+
+    Args:
+        x: observations (N, 2C); v: per-dim ensemble variances (N, 2C).
+        likelihoods: (N, C) per-view likelihoods (optional row filter).
+        loading_matrix / mean: supply to skip the FA fit.
+
+    Returns:
+        dict with 'mahalanobis' {view: (N, 1)}, 'posterior_variance'
+        {view: (N, 2, 2)}, 'reconstructed' (N, 2C).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+
+    if loading_matrix is None or mean is None:
+        if likelihoods is not None and likelihood_threshold is not None:
+            valid = np.min(likelihoods, axis=1) >= likelihood_threshold
+        else:
+            valid = np.ones(x.shape[0], dtype=bool)
+        if v_quantile_threshold is not None:
+            ev_max = v.max(axis=1)
+            valid = valid & (ev_max < np.percentile(ev_max, v_quantile_threshold))
+        fa = FactorAnalysis(n_components=n_latent)
+        fa.fit(x[valid])
+        W = fa.components_.T  # (2C, L)
+        mu_x = fa.mean_
+    else:
+        W = np.asarray(loading_matrix, dtype=np.float64)
+        mu_x = np.asarray(mean, dtype=np.float64)
+
+    inv_v = 1.0 / (v + epsilon)  # (N, 2C)
+
+    # posterior latent covariance per row: B = (Wᵀ D⁻¹ W)⁻¹, all rows at once
+    WtDW = np.einsum("fl,nf,fm->nlm", W, inv_v, W)  # (N, L, L)
+    B = np.linalg.inv(WtDW)
+
+    # posterior latent mean: ẑ = B Wᵀ D⁻¹ (x − μ)
+    rhs = np.einsum("fl,nf,nf->nl", W, inv_v, x - mu_x)  # (N, L)
+    z_hat = np.einsum("nlm,nm->nl", B, rhs)
+
+    xhat = z_hat @ W.T + mu_x
+    diff = x - xhat
+
+    num_views = x.shape[1] // 2
+    Q: dict[int, np.ndarray] = {}
+    M: dict[int, np.ndarray] = {}
+    for view in range(num_views):
+        sl = slice(2 * view, 2 * (view + 1))
+        Wv = W[sl]  # (2, L)
+        # Q_view = diag(v_view) + Wv B Wvᵀ, per row
+        WBW = np.einsum("il,nlm,jm->nij", Wv, B, Wv)  # (N, 2, 2)
+        Qv = WBW.copy()
+        Qv[:, 0, 0] += v[:, sl][:, 0]
+        Qv[:, 1, 1] += v[:, sl][:, 1]
+        d = diff[:, sl]  # (N, 2)
+        Mv = np.einsum("ni,nij,nj->n", d, np.linalg.inv(Qv), d)
+        Q[view] = Qv
+        M[view] = Mv[:, None]
+
+    return {"mahalanobis": M, "posterior_variance": Q, "reconstructed": xhat}

@@ -1,0 +1,216 @@
+"""Geometry: cv2 parity for Rodrigues/projection/undistortion, DLT recovery."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+cv2 = pytest.importorskip("cv2")
+
+from eks_tpu.geometry import (
+    Camera,
+    CameraGroup,
+    inverse_rodrigues,
+    make_projection_fn,
+    parse_dist,
+    rodrigues,
+    triangulate_dlt,
+    undistort_points,
+)
+
+FLY_CALIB = "/root/reference/data/fly/calibration.toml"
+
+
+def _random_cam(rng, with_dist=True, n_dist=5):
+    rvec = rng.normal(size=3) * 0.5
+    tvec = np.array([0.1, -0.2, 5.0]) + rng.normal(size=3) * 0.1
+    K = np.array([[800.0, 0.0, 320.0], [0.0, 820.0, 240.0], [0.0, 0.0, 1.0]])
+    if with_dist:
+        dist = rng.normal(size=n_dist) * np.array(
+            [0.1, 0.01, 0.001, 0.001, 0.001, 0.01, 0.001, 0.0001, 0.001, 0.001, 0.001, 0.001, 0, 0][:n_dist]
+        )
+    else:
+        dist = np.zeros(5)
+    return rvec, tvec, K, dist
+
+
+def _points(rng, N=100, spread=1.0):
+    X = rng.normal(size=(N, 3))
+    X[:, 2] = np.abs(X[:, 2]) + 0.5
+    # keep normalized radii in the invertible-distortion regime
+    X[:, :2] *= spread * X[:, 2:3] / 3.0
+    return X
+
+
+# ----------------------------- Rodrigues ----------------------------- #
+def test_rodrigues_matches_cv2(rng):
+    with jax.enable_x64():
+        for rv in [np.array([1e-11, -2e-11, 3e-11])] + [
+            rng.normal(size=3) for _ in range(5)
+        ]:
+            R_cv, _ = cv2.Rodrigues(rv)
+            R_ours = np.asarray(rodrigues(jnp.asarray(rv, dtype=jnp.float64)))
+            np.testing.assert_allclose(R_ours, R_cv, atol=1e-10)
+
+
+def test_inverse_rodrigues_roundtrip(rng):
+    with jax.enable_x64():
+        for _ in range(5):
+            rv = rng.normal(size=3)
+            R = np.asarray(rodrigues(jnp.asarray(rv, dtype=jnp.float64)))
+            rv_back = inverse_rodrigues(R)
+            np.testing.assert_allclose(rv_back, rv, atol=1e-8)
+        # near-pi rotation
+        rv = np.array([np.pi - 1e-8, 0.0, 0.0])
+        R = np.asarray(rodrigues(jnp.asarray(rv, dtype=jnp.float64)))
+        rv_back = inverse_rodrigues(R)
+        np.testing.assert_allclose(np.abs(rv_back), rv, atol=1e-5)
+        # identity
+        np.testing.assert_allclose(inverse_rodrigues(np.eye(3)), np.zeros(3))
+
+
+def test_inverse_rodrigues_matches_cv2(rng):
+    for _ in range(5):
+        rv = rng.normal(size=3)
+        R, _ = cv2.Rodrigues(rv)
+        np.testing.assert_allclose(inverse_rodrigues(R), rv.ravel(), atol=1e-8)
+
+
+# ----------------------------- parse_dist ----------------------------- #
+def test_parse_dist():
+    d = parse_dist(np.array([0.1, -0.2, 0.01, -0.01, 0.001]))
+    assert float(d["k1"]) == pytest.approx(0.1)
+    assert float(d["p1"]) == pytest.approx(0.01)
+    assert float(d["k3"]) == pytest.approx(0.001)
+    for name in ["k4", "k5", "k6", "s1", "s2", "s3", "s4"]:
+        assert float(d[name]) == 0.0
+    d14 = parse_dist(np.arange(14) / 100.0)
+    assert float(d14["s4"]) == pytest.approx(0.11)
+    assert "tx" not in d14 and "ty" not in d14
+
+
+# ----------------------------- projection ----------------------------- #
+@pytest.mark.parametrize("n_dist", [0, 5, 8, 12])
+def test_projection_matches_cv2(rng, n_dist):
+    with jax.enable_x64():
+        rvec, tvec, K, dist = _random_cam(rng, with_dist=n_dist > 0, n_dist=max(n_dist, 5))
+        if n_dist == 0:
+            dist = np.zeros(5)
+        proj = make_projection_fn(rvec, tvec, K, dist)
+        X = _points(rng)
+        uv_cv, _ = cv2.projectPoints(X, rvec.reshape(3, 1), tvec.reshape(3, 1), K, dist)
+        uv = np.asarray(proj(jnp.asarray(X)))
+        np.testing.assert_allclose(uv, uv_cv.reshape(-1, 2), atol=1e-6)
+
+
+def test_projection_with_skew(rng):
+    with jax.enable_x64():
+        rvec, tvec, K, dist = _random_cam(rng, with_dist=False)
+        K[0, 1] = 2.5  # skew
+        proj = make_projection_fn(rvec, tvec, K, dist)
+        X = _points(rng, 10)
+        Xc = X @ np.asarray(cv2.Rodrigues(rvec)[0]).T + tvec
+        xn = Xc[:, :2] / Xc[:, 2:3]
+        uv_manual = np.stack(
+            [K[0, 0] * xn[:, 0] + K[0, 1] * xn[:, 1] + K[0, 2], K[1, 1] * xn[:, 1] + K[1, 2]],
+            axis=-1,
+        )
+        np.testing.assert_allclose(np.asarray(proj(jnp.asarray(X))), uv_manual, atol=1e-8)
+
+
+# ----------------------------- undistort ----------------------------- #
+@pytest.mark.parametrize("n_dist", [5, 8])
+def test_undistort_matches_cv2(rng, n_dist):
+    with jax.enable_x64():
+        _, _, K, dist = _random_cam(rng, n_dist=n_dist)
+        # generate distorted pixel observations by projecting
+        proj = make_projection_fn(np.zeros(3), np.zeros(3), K, dist)
+        X = _points(rng, 50)
+        uv = np.asarray(proj(jnp.asarray(X)))
+        und_cv = cv2.undistortPoints(uv.reshape(-1, 1, 2), K, dist).reshape(-1, 2)
+        und = np.asarray(undistort_points(jnp.asarray(uv), K, dist))
+        np.testing.assert_allclose(und, und_cv, atol=1e-6)
+
+
+def test_undistort_inverts_distortion(rng):
+    with jax.enable_x64():
+        _, _, K, dist = _random_cam(rng)
+        proj = make_projection_fn(np.zeros(3), np.zeros(3), K, dist)
+        X = _points(rng, 50)
+        uv = np.asarray(proj(jnp.asarray(X)))
+        und = np.asarray(undistort_points(jnp.asarray(uv), K, dist, num_iters=20))
+        np.testing.assert_allclose(und, X[:, :2] / X[:, 2:3], atol=1e-7)
+
+
+# ---------------------------- triangulation ---------------------------- #
+def _make_group(rng, n_cams=3):
+    cams = []
+    for c in range(n_cams):
+        rvec = rng.normal(size=3) * 0.3
+        tvec = np.array([0.5 * c - 0.5, 0.1 * c, 4.0 + c])
+        K = np.array([[700.0 + 50 * c, 0, 300.0], [0, 700.0 + 50 * c, 250.0], [0, 0, 1]])
+        dist = np.array([0.05, -0.01, 0.001, 0.001, 0.0])
+        cams.append(Camera(name=f"cam{c}", matrix=K, dist=dist, rvec=rvec, tvec=tvec))
+    return CameraGroup(cams)
+
+
+def test_triangulate_recovers_points(rng):
+    with jax.enable_x64():
+        group = _make_group(rng)
+        X = _points(rng, 40) * 0.3
+        pix = np.stack(
+            [np.asarray(cam.projection_fn()(jnp.asarray(X))) for cam in group.cameras]
+        )  # (C, N, 2)
+        X_rec = group.triangulate(pix)
+        np.testing.assert_allclose(X_rec, X, atol=1e-5)
+
+
+def test_triangulate_nan_masking(rng):
+    with jax.enable_x64():
+        group = _make_group(rng, n_cams=3)
+        X = _points(rng, 10) * 0.3
+        pix = np.stack(
+            [np.asarray(cam.projection_fn()(jnp.asarray(X))) for cam in group.cameras]
+        )
+        pix[0, 2] = np.nan  # point 2: only 2 views -> still triangulated
+        pix[0, 5] = np.nan  # point 5: only 1 view -> NaN
+        pix[1, 5] = np.nan
+        X_rec = group.triangulate(pix)
+        np.testing.assert_allclose(X_rec[2], X[2], atol=1e-5)
+        assert np.isnan(X_rec[5]).all()
+        np.testing.assert_allclose(X_rec[0], X[0], atol=1e-5)
+
+
+def test_triangulate_dlt_direct(rng):
+    with jax.enable_x64():
+        # no distortion: normalized coords directly
+        group = _make_group(rng, 2)
+        X = _points(rng, 20) * 0.3
+        extr = np.stack([c.extrinsics() for c in group.cameras])
+        norm = []
+        for c in range(2):
+            Xc = X @ extr[c, :, :3].T + extr[c, :, 3]
+            norm.append(Xc[:, :2] / Xc[:, 2:3])
+        out = np.asarray(triangulate_dlt(jnp.asarray(np.stack(norm)), jnp.asarray(extr)))
+        np.testing.assert_allclose(out, X, atol=1e-6)
+
+
+# ----------------------------- calibration TOML ----------------------------- #
+@pytest.mark.skipif(not __import__("os").path.exists(FLY_CALIB), reason="no fly calib")
+def test_camgroup_load_fly():
+    group = CameraGroup.load(FLY_CALIB)
+    assert [c.name for c in group.cameras] == ["Cam-A", "Cam-B", "Cam-C"]
+    assert group.cameras[0].matrix.shape == (3, 3)
+    assert group.metadata.get("adjusted") is True
+    with jax.enable_x64():
+        # project + triangulate roundtrip through the real calibration;
+        # the fly rig's extreme k1 (-6468 on Cam-C) is only invertible inside
+        # a small working volume around the origin
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(10, 3)) * 0.05
+        pix = np.stack(
+            [np.asarray(c.projection_fn()(jnp.asarray(X))) for c in group.cameras]
+        )
+        X_rec = group.triangulate(pix)
+        np.testing.assert_allclose(X_rec, X, atol=1e-4)
