@@ -1,0 +1,640 @@
+"""Multi-camera EKS: PCA-latent (linear) and calibrated-projection (nonlinear).
+
+Two observation models, selected by the presence of a calibration
+(reference: eks/multicam_smoother.py:279-551):
+
+  * Linear path — per-keypoint PCA of the centered (T, 2C) multi-view stack
+    builds the emission matrix ``C = components.T``; random-walk latent with
+    Q from the normalized covariance of PC lag-1 diffs.
+  * Nonlinear path — triangulate each model's 2D predictions to 3D (batched
+    DLT, replacing the reference's joblib thread pool), average over models,
+    and smooth a 3-D latent with the calibrated multi-view projection as the
+    EKF emission function.
+
+Variance inflation: per keypoint, a Factor-Analysis/Mahalanobis screen
+multiplies ensemble variances by 10 wherever the distance exceeds 5, repeated
+to a fixed point (reference: eks/multicam_smoother.py:653-764).
+
+Output parity quirks preserved deliberately: the linear path ADDS the ensemble
+variance to the posterior variance in the per-camera outputs
+(eks/multicam_smoother.py:509-510), as does the nonlinear covariance
+projection (:943-944).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Literal, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from jax import vmap
+
+from eks_tpu.core import ensemble, run_kalman_smoother
+from eks_tpu.geometry import CameraGroup, make_projection_from_camgroup
+from eks_tpu.geometry.triangulate import triangulate_dlt
+from eks_tpu.marker_array import (
+    MarkerArray,
+    input_dfs_to_markerArray,
+    mA_to_stacked_array,
+    stacked_array_to_mA,
+)
+from eks_tpu.stats import PCA, compute_mahalanobis, compute_pca
+from eks_tpu.utils import center_predictions, format_data, make_dlc_pandas_index
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "fit_eks_multicam",
+    "fit_eks_mirrored_multicam",
+    "ensemble_kalman_smoother_multicam",
+    "initialize_kalman_filter_pca",
+    "initialize_kalman_filter_geometric",
+    "inflate_variance",
+    "mA_compute_maha",
+    "triangulate_3d_models",
+    "project_3d_covariance_to_2d",
+]
+
+OUTPUT_LABELS = [
+    "x",
+    "y",
+    "likelihood",
+    "x_ens_median",
+    "y_ens_median",
+    "x_ens_var",
+    "y_ens_var",
+    "x_posterior_var",
+    "y_posterior_var",
+]
+
+
+# --------------------------------------------------------------------------- #
+# public fit wrappers
+# --------------------------------------------------------------------------- #
+def fit_eks_mirrored_multicam(
+    input_source: str | list,
+    save_file: str,
+    bodypart_list: list | None = None,
+    smooth_param: float | list | None = None,
+    s_frames: list | None = None,
+    camera_names: list = [],
+    quantile_keep_pca: float = 50.0,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    inflate_vars: bool = False,
+    n_latent: int = 3,
+) -> tuple:
+    """Mirrored multi-camera fit: one CSV per seed holds all views as
+    ``{kp}_{camera}`` columns; views are split out, smoothed jointly, and the
+    per-camera outputs merged back into a single CSV
+    (reference: eks/multicam_smoother.py:37-153).
+    """
+    input_dfs_list, keypoint_names = format_data(input_source)
+    if bodypart_list is None:
+        # deduped prefix before the first underscore
+        seen: set = set()
+        bodypart_list = []
+        for name in keypoint_names:
+            base = name.split("_")[0]
+            if base not in seen:
+                seen.add(base)
+                bodypart_list.append(base)
+
+    n_models = len(input_dfs_list)
+    n_cameras = len(camera_names)
+
+    camera_model_dfs = [[None] * n_models for _ in range(n_cameras)]
+    for m, df in enumerate(input_dfs_list):
+        for c, camera in enumerate(camera_names):
+            cols = {
+                col: col.replace(f"_{camera}", "")
+                for col in df.columns
+                if f"_{camera}_" in col
+            }
+            camera_model_dfs[c][m] = df[list(cols.keys())].rename(columns=cols)
+
+    marker_array = input_dfs_to_markerArray(
+        camera_model_dfs, bodypart_list, camera_names
+    )
+    camera_dfs, s_finals, _df_3d = ensemble_kalman_smoother_multicam(
+        marker_array=marker_array,
+        keypoint_names=bodypart_list,
+        camera_names=camera_names,
+        smooth_param=smooth_param,
+        quantile_keep_pca=quantile_keep_pca,
+        s_frames=s_frames,
+        avg_mode=avg_mode,
+        var_mode=var_mode,
+        inflate_vars=inflate_vars,
+        n_latent=n_latent,
+    )
+
+    # merge per-camera frames back into one mirrored CSV
+    final_df = None
+    for c, camera_df in enumerate(camera_dfs):
+        renamed = [
+            (scorer, f"{kp}_{camera_names[c]}", attr)
+            for scorer, kp, attr in camera_df.columns
+        ]
+        camera_df.columns = pd.MultiIndex.from_tuples(
+            renamed, names=camera_df.columns.names
+        )
+        final_df = camera_df if final_df is None else pd.concat(
+            [final_df, camera_df], axis=1
+        )
+
+    assert final_df is not None
+    save_dir = os.path.dirname(save_file)
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+    final_df.to_csv(save_file)
+    return final_df, s_finals, input_dfs_list, bodypart_list
+
+
+def fit_eks_multicam(
+    input_source: str | list | dict,
+    save_dir: str,
+    bodypart_list: list | None = None,
+    smooth_param: float | list | None = None,
+    s_frames: list | None = None,
+    camera_names: list | None = None,
+    quantile_keep_pca: float = 50.0,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    inflate_vars: bool = False,
+    n_latent: int = 3,
+    calibration: str | None = None,
+    save_3d_outputs: bool = True,
+) -> tuple:
+    """Un-mirrored multi-camera fit: one CSV per (camera, seed).
+
+    With ``calibration`` (Anipose TOML), the nonlinear calibrated-projection
+    path is used and camera names come from the file
+    (reference: eks/multicam_smoother.py:156-276).
+
+    Returns:
+        (camera_dfs, s_finals, input_dfs_list, bodypart_list, df_3d)
+    """
+    if calibration is not None:
+        camgroup = CameraGroup.load(calibration)
+        if camera_names is not None:
+            logger.warning(
+                "camera_names argument is ignored when calibration is provided; "
+                "camera names will be read from the calibration file"
+            )
+        camera_names = [cam.name for cam in camgroup.cameras]
+    else:
+        camgroup = None
+        if camera_names is None:
+            raise ValueError(
+                "camera_names must be provided when no calibration file is given"
+            )
+
+    _t0 = time.perf_counter()
+    input_dfs_list, keypoint_names = format_data(input_source, camera_names=camera_names)
+    logger.debug(f"[profile] format_data: {time.perf_counter() - _t0:.3f}s")
+    if bodypart_list is None:
+        bodypart_list = keypoint_names
+
+    _t0 = time.perf_counter()
+    marker_array = input_dfs_to_markerArray(input_dfs_list, bodypart_list, camera_names)
+    logger.debug(f"[profile] input_dfs_to_markerArray: {time.perf_counter() - _t0:.3f}s")
+
+    camera_dfs, s_finals, df_3d = ensemble_kalman_smoother_multicam(
+        marker_array=marker_array,
+        keypoint_names=bodypart_list,
+        camera_names=camera_names,
+        smooth_param=smooth_param,
+        quantile_keep_pca=quantile_keep_pca,
+        s_frames=s_frames,
+        avg_mode=avg_mode,
+        var_mode=var_mode,
+        inflate_vars=inflate_vars,
+        n_latent=n_latent,
+        camgroup=camgroup,
+    )
+
+    os.makedirs(save_dir, exist_ok=True)
+    for c, camera in enumerate(camera_names):
+        camera_dfs[c].to_csv(os.path.join(save_dir, f"multicam_{camera}_results.csv"))
+    if save_3d_outputs and calibration is not None:
+        df_3d.to_csv(os.path.join(save_dir, "multicam_3d_results.csv"))
+    return camera_dfs, s_finals, input_dfs_list, bodypart_list, df_3d
+
+
+# --------------------------------------------------------------------------- #
+# array-level smoother
+# --------------------------------------------------------------------------- #
+def ensemble_kalman_smoother_multicam(
+    marker_array: MarkerArray,
+    keypoint_names: list,
+    camera_names: list,
+    smooth_param: float | list | None = None,
+    quantile_keep_pca: float = 50.0,
+    s_frames: list | None = None,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    inflate_vars: bool = False,
+    inflate_vars_kwargs: dict = {},
+    pca_object: Optional[PCA] = None,
+    n_latent: int = 3,
+    camgroup: Optional[CameraGroup] = None,
+) -> tuple:
+    """Multi-view smoother over a (M, C, T, K, 3) MarkerArray.
+
+    Returns:
+        (camera_dfs, s_finals, df_3d)
+    """
+    if camera_names is None or len(camera_names) == 0:
+        raise ValueError("camera_names must be provided")
+
+    M, V, T, K, _ = marker_array.shape
+    _t0_total = time.perf_counter()
+
+    # ensemble + centering
+    _t0 = time.perf_counter()
+    emA = ensemble(marker_array, avg_mode=avg_mode, var_mode=var_mode)
+    emA_unsm = emA.slice_fields("x", "y")
+    emA_vars = emA.slice_fields("var_x", "var_y")
+    emA_likes = emA.slice_fields("likelihood")
+    valid_mask, emA_centered, emA_good_centered, emA_means = center_predictions(
+        emA, quantile_keep_pca
+    )
+    logger.debug(f"[profile] ensemble + centering: {time.perf_counter() - _t0:.3f}s")
+
+    # optional Mahalanobis variance inflation
+    _t0 = time.perf_counter()
+    if inflate_vars:
+        if inflate_vars_kwargs.get("mean", None) is not None:
+            # centered predictions are passed in, so the latent mean is zero
+            inflate_vars_kwargs["mean"] = np.zeros_like(inflate_vars_kwargs["mean"])
+        emA_inflated_vars = mA_compute_maha(
+            emA_centered, emA_vars, emA_likes, n_latent,
+            inflate_vars_kwargs=inflate_vars_kwargs,
+        )
+    else:
+        emA_inflated_vars = emA_vars
+    label = "variance inflation (maha)" if inflate_vars else "variance inflation (skipped)"
+    logger.debug(f"[profile] {label}: {time.perf_counter() - _t0:.3f}s")
+
+    using_nonlinear = camgroup is not None
+    h_cams: list = []
+
+    if using_nonlinear:
+        logger.debug("[EKS] nonlinear path: triangulate + geometric init + projection")
+        _t0 = time.perf_counter()
+        tri_models = triangulate_3d_models(marker_array, camgroup)  # (M, K, T, 3)
+        ys_3d = tri_models.mean(axis=0)  # (K, T, 3)
+        logger.debug(f"[profile] triangulation: {time.perf_counter() - _t0:.3f}s")
+
+        m0s, S0s, As, Qs, Cs = initialize_kalman_filter_geometric(ys_3d)
+        h_fn, h_cams = make_projection_from_camgroup(camgroup)
+
+        # raw (uncentered) 2D observations + variances, (K, T, 2C)
+        unsm = emA_unsm.array[0]  # (C, T, K, 2)
+        infl = emA_inflated_vars.array[0]
+        ys = np.moveaxis(unsm, 2, 0).transpose(0, 2, 1, 3).reshape(K, T, 2 * V)
+        ensemble_vars = (
+            np.moveaxis(infl, 2, 0).transpose(0, 2, 1, 3).reshape(K, T, 2 * V)
+        )
+    else:
+        logger.debug("[EKS] linear path: PCA subspace + linear emissions")
+        _t0 = time.perf_counter()
+        ensemble_pca, good_pcs_list = compute_pca(
+            valid_mask, emA_centered, emA_good_centered,
+            n_components=n_latent, pca_object=pca_object,
+        )
+        logger.debug(f"[profile] PCA: {time.perf_counter() - _t0:.3f}s")
+
+        m0s, S0s, As, Qs, Cs = initialize_kalman_filter_pca(
+            good_pcs_list=good_pcs_list, ensemble_pca=ensemble_pca, n_latent=n_latent
+        )
+        h_fn = None
+
+        cen = emA_centered.array[0]  # (C, T, K, 2)
+        infl = emA_inflated_vars.array[0]
+        ys = np.moveaxis(cen, 2, 0).transpose(0, 2, 1, 3).reshape(K, T, 2 * V)
+        ensemble_vars = (
+            np.moveaxis(infl, 2, 0).transpose(0, 2, 1, 3).reshape(K, T, 2 * V)
+        )
+
+    # smoother
+    _t0 = time.perf_counter()
+    s_finals, ms, Vs = run_kalman_smoother(
+        ys=jnp.asarray(ys),
+        m0s=m0s, S0s=S0s, As=As, Qs=Qs, Cs=Cs,
+        ensemble_vars=np.swapaxes(ensemble_vars, 0, 1),  # (T, K, 2C)
+        s_frames=s_frames,
+        smooth_param=smooth_param,
+        h_fn=h_fn,
+    )
+    logger.debug(f"[profile] run_kalman_smoother: {time.perf_counter() - _t0:.3f}s")
+
+    # reprojection + packaging
+    _t0 = time.perf_counter()
+    likes = emA_likes.array[0, :, :, :, 0]  # (C, T, K)
+    unsm = emA_unsm.array[0]  # (C, T, K, 2)
+    raw_vars = emA_vars.array[0]  # (C, T, K, 2)
+    infl_vars = emA_inflated_vars.array[0]
+    means = emA_means.array[0, :, 0, :, :]  # (C, K, 2)
+
+    camera_dfs = []
+    if using_nonlinear:
+        # project means and covariances through each camera head
+        proj_xy = np.zeros((V, K, T, 2))
+        proj_var = np.zeros((V, K, T, 2))
+        ms_j = jnp.asarray(ms)  # (K, T, 3)
+        Vs_j = jnp.asarray(Vs)
+        for c in range(V):
+            h_c = h_cams[c]
+            proj_xy[c] = np.asarray(vmap(vmap(h_c))(ms_j))
+            vx, vy = project_3d_covariance_to_2d(ms, Vs, h_c, ensemble_vars)
+            proj_var[c, :, :, 0] = vx
+            proj_var[c, :, :, 1] = vy
+
+        for c in range(V):
+            blocks = []
+            for k in range(K):
+                blocks.append(
+                    np.stack(
+                        [
+                            proj_xy[c, k, :, 0],
+                            proj_xy[c, k, :, 1],
+                            likes[c, :, k],
+                            unsm[c, :, k, 0],
+                            unsm[c, :, k, 1],
+                            raw_vars[c, :, k, 0],
+                            raw_vars[c, :, k, 1],
+                            proj_var[c, k, :, 0],
+                            proj_var[c, k, :, 1],
+                        ],
+                        axis=-1,
+                    )
+                )
+            arr = np.concatenate(blocks, axis=-1)  # (T, K*9)
+            camera_dfs.append(
+                pd.DataFrame(
+                    arr, columns=make_dlc_pandas_index(keypoint_names, OUTPUT_LABELS)
+                )
+            )
+    else:
+        Cs_np = np.asarray(Cs)  # (K, 2C, L)
+        y_m = np.einsum("koj,ktj->kto", Cs_np, ms)  # (K, T, 2C)
+        y_v_diag = np.einsum("koj,ktjl,kol->kto", Cs_np, Vs, Cs_np)  # (K, T, 2C)
+
+        for c in range(V):
+            xi, yi = 2 * c, 2 * c + 1
+            blocks = []
+            for k in range(K):
+                blocks.append(
+                    np.stack(
+                        [
+                            y_m[k, :, xi] + means[c, k, 0],
+                            y_m[k, :, yi] + means[c, k, 1],
+                            likes[c, :, k],
+                            unsm[c, :, k, 0],
+                            unsm[c, :, k, 1],
+                            infl_vars[c, :, k, 0],
+                            infl_vars[c, :, k, 1],
+                            # posterior var + ensemble var (deliberate quirk,
+                            # reference eks/multicam_smoother.py:509-510)
+                            y_v_diag[k, :, xi] + ensemble_vars[k, :, xi],
+                            y_v_diag[k, :, yi] + ensemble_vars[k, :, yi],
+                        ],
+                        axis=-1,
+                    )
+                )
+            arr = np.concatenate(blocks, axis=-1)
+            camera_dfs.append(
+                pd.DataFrame(
+                    arr, columns=make_dlc_pandas_index(keypoint_names, OUTPUT_LABELS)
+                )
+            )
+    logger.debug(f"[profile] reprojection + packaging: {time.perf_counter() - _t0:.3f}s")
+
+    # 3-D latent dataframe
+    labels_3d = ["x", "y", "z", "x_posterior_var", "y_posterior_var", "z_posterior_var"]
+    arr_3d = np.concatenate(
+        [
+            np.concatenate(
+                [ms[k], np.stack([Vs[k, :, i, i] for i in range(3)], axis=-1)],
+                axis=-1,
+            )
+            for k in range(K)
+        ],
+        axis=-1,
+    ) if ms.shape[-1] == 3 else np.zeros((T, K * 6))
+    df_3d = pd.DataFrame(
+        arr_3d, columns=make_dlc_pandas_index(keypoint_names, labels_3d)
+    )
+
+    logger.debug(
+        f"[profile] ensemble_kalman_smoother_multicam total: "
+        f"{time.perf_counter() - _t0_total:.3f}s"
+    )
+    return camera_dfs, s_finals, df_3d
+
+
+# --------------------------------------------------------------------------- #
+# Kalman initialisation
+# --------------------------------------------------------------------------- #
+def initialize_kalman_filter_pca(
+    good_pcs_list: list[np.ndarray],
+    ensemble_pca: list,
+    n_latent: int,
+) -> tuple:
+    """PCA-latent init: C = componentsᵀ, Q = normalized covariance of PC
+    lag-1 diffs, S0 = diag(var of good PCs)
+    (reference: eks/multicam_smoother.py:554-597)."""
+    K = len(good_pcs_list)
+    m0s = np.zeros((K, n_latent))
+    S0s = np.stack(
+        [np.diag(np.var(good_pcs_list[k], axis=0)) for k in range(K)]
+    )
+    As = np.tile(np.eye(n_latent), (K, 1, 1))
+    Cs = np.stack([pca.components_.T for pca in ensemble_pca])  # (K, 2C, L)
+
+    Qs = []
+    for k in range(K):
+        d = np.diff(good_pcs_list[k], axis=0)
+        cov = np.atleast_2d(np.cov(d.T))  # np.cov of 1-D diffs is a scalar
+        peak = np.max(np.abs(cov))
+        Qs.append(cov / peak if peak > 0 else cov)
+    Qs = np.stack(Qs)
+
+    return (
+        jnp.array(m0s),
+        jnp.array(S0s),
+        jnp.array(As),
+        jnp.array(Qs),
+        jnp.array(Cs),
+    )
+
+
+def initialize_kalman_filter_geometric(ys: np.ndarray) -> tuple:
+    """3-D geometric init from triangulated trajectories: m0 = mean of the
+    first 10 frames, S0 = diag(nanvar)+1e-4, Q from the MAD of lag-1 diffs
+    (reference: eks/multicam_smoother.py:600-650)."""
+    K, T, D = ys.shape
+    m0s = ys[:, :10].mean(axis=1)  # (K, 3)
+    var = np.nanvar(ys, axis=1) + 1e-4  # (K, 3)
+    S0s = np.zeros((K, D, D))
+    for d in range(D):
+        S0s[:, d, d] = var[:, d]
+
+    eye = np.tile(np.eye(D), (K, 1, 1))
+
+    dx = np.diff(ys, axis=1)  # (K, T-1, 3)
+    med = np.median(dx, axis=1, keepdims=True)
+    mad = np.median(np.abs(dx - med), axis=1) + 1e-12  # (K, 3)
+    qvar = np.maximum((1.4826 * mad) ** 2, 1e-8)
+    Qs = np.zeros((K, D, D))
+    for d in range(D):
+        Qs[:, d, d] = qvar[:, d]
+
+    return (
+        jnp.array(m0s),
+        jnp.array(S0s),
+        jnp.array(eye),
+        jnp.array(Qs),
+        jnp.array(eye),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# variance inflation
+# --------------------------------------------------------------------------- #
+def mA_compute_maha(
+    centered_emA_preds: MarkerArray,
+    emA_vars: MarkerArray,
+    emA_likes: MarkerArray,
+    n_latent: int,
+    inflate_vars_kwargs: dict = {},
+    threshold: float = 5.0,
+    scalar: float = 10.0,
+) -> MarkerArray:
+    """Fixed-point variance inflation: per keypoint, compute Mahalanobis
+    distances and multiply variances by ``scalar`` where the distance exceeds
+    ``threshold``; repeat until nothing inflates
+    (reference: eks/multicam_smoother.py:653-721)."""
+    _, n_cameras, _, n_keypoints, _ = centered_emA_preds.shape
+
+    inflate_vars_kwargs.setdefault("likelihood_threshold", 0.9)
+    inflate_vars_kwargs.setdefault("v_quantile_threshold", 50.0)
+
+    out_list = []
+    for k in range(n_keypoints):
+        preds = mA_to_stacked_array(centered_emA_preds, k)
+        variances = mA_to_stacked_array(emA_vars, k)
+        likes = mA_to_stacked_array(emA_likes, k)
+
+        logger.info(f"inflating keypoint: {k}")
+        inflated = True
+        tmp = variances
+        while inflated:
+            if inflate_vars_kwargs.get("likelihoods", None) is None:
+                maha = compute_mahalanobis(
+                    preds, tmp, n_latent=n_latent, **inflate_vars_kwargs
+                )
+            else:
+                maha = compute_mahalanobis(
+                    preds, tmp, n_latent=n_latent, likelihoods=likes,
+                    **inflate_vars_kwargs,
+                )
+            tmp, inflated = inflate_variance(
+                tmp, maha["mahalanobis"], threshold, scalar
+            )
+
+        out_list.append(
+            stacked_array_to_mA(tmp, n_cameras, data_fields=["var_x", "var_y"])
+        )
+    return MarkerArray.stack(out_list, "keypoints")
+
+
+def inflate_variance(
+    v: np.ndarray,
+    maha_dict: dict,
+    threshold: float = 5.0,
+    scalar: float = 10.0,
+) -> tuple:
+    """Multiply variances by ``scalar`` for (frame, view) cells whose
+    Mahalanobis distance exceeds ``threshold``. With exactly 2 views, any
+    flagged view inflates the whole row (reference:
+    eks/multicam_smoother.py:724-764).
+
+    Returns (updated_v, anything_inflated).
+    """
+    assert len(maha_dict) >= 2, "must have >=2 views to inflate variance"
+    updated = v.copy()
+    N, _ = v.shape
+    C = len(maha_dict)
+
+    mask = np.zeros((N, C), dtype=bool)
+    for view, dist in maha_dict.items():
+        mask[:, view] = dist[:, 0] > threshold
+
+    full = np.repeat(mask, 2, axis=1)
+    if C == 2:
+        full |= full.any(axis=1, keepdims=True)
+
+    updated[full] *= scalar
+    return updated, bool(full.any())
+
+
+# --------------------------------------------------------------------------- #
+# nonlinear-path helpers
+# --------------------------------------------------------------------------- #
+def triangulate_3d_models(marker_array: MarkerArray, camgroup: CameraGroup) -> np.ndarray:
+    """Triangulate every (model, keypoint, frame) in one batched call:
+    (M, C, T, K, >=2) marker array -> (M, K, T, 3).
+
+    Replaces the reference's M*K joblib-threaded aniposelib calls
+    (eks/multicam_smoother.py:888-911) with a single vectorized undistort +
+    DLT over all M*K*T points.
+    """
+    M, C, T, K, _ = marker_array.shape
+    raw = np.asarray(marker_array.get_array()[..., :2], dtype=np.float64)
+    # (C, M*K*T, 2) with flat index (m, k, t)
+    pts = raw.transpose(1, 0, 3, 2, 4).reshape(C, M * K * T, 2)
+
+    und = np.stack(
+        [
+            np.asarray(cam.undistort(jnp.asarray(pts[c])))
+            for c, cam in enumerate(camgroup.cameras)
+        ]
+    )
+    extr = np.stack([cam.extrinsics() for cam in camgroup.cameras])
+    xyz = np.asarray(triangulate_dlt(jnp.asarray(und), jnp.asarray(extr)))
+    return xyz.reshape(M, K, T, 3)
+
+
+def project_3d_covariance_to_2d(
+    ms: np.ndarray,  # (K, T, 3) or (T, 3)
+    Vs: np.ndarray,  # (K, T, 3, 3) or (T, 3, 3)
+    h_cam,
+    ensemble_vars: np.ndarray,  # (K, T, 2C) or (T, 2C) — x/y of this camera first
+) -> tuple[np.ndarray, np.ndarray]:
+    """Project 3-D posterior covariance to a camera's 2-D pixel variances via
+    the projection Jacobian: ``cov2d = J V Jᵀ``, with the ensemble variance
+    added on top (reference: eks/multicam_smoother.py:914-946).
+
+    Returns (var_x, var_y) matching the leading shape of ``ms`` minus the
+    state axis.
+    """
+    squeeze = ms.ndim == 2
+    ms_b = ms[None] if squeeze else ms  # (K, T, 3)
+    Vs_b = Vs[None] if squeeze else Vs
+    ev_b = ensemble_vars[None] if squeeze else ensemble_vars
+
+    J = np.asarray(vmap(vmap(jax.jacfwd(h_cam)))(jnp.asarray(ms_b)))  # (K, T, 2, 3)
+    cov2d = np.einsum("ktij,ktjl,ktml->ktim", J, Vs_b, J)  # (K, T, 2, 2)
+    var_x = cov2d[..., 0, 0] + ev_b[..., 0]
+    var_y = cov2d[..., 1, 1] + ev_b[..., 1]
+    if squeeze:
+        return var_x[0], var_y[0]
+    return var_x, var_y
