@@ -1,0 +1,406 @@
+"""IBL pupil smoother: 3-state AR(1) latent model (diameter + center of mass).
+
+Model (reference: eks/ibl_pupil_smoother.py:197-448): latent
+``x = [diameter, com_x, com_y]`` with AR(1) dynamics ``A = diag(s_d, s_c,
+s_c)`` and stationary process noise ``Q = diag(var * (1 - s^2))``; a fixed
+8x3 emission matrix encodes pupil geometry (top_y = com_y - d/2, right_x =
+com_x + d/2, ...). The two smoothing parameters live in (0, 1) and are
+optimized in sigmoid-unconstrained space against the filter NLL with
+time-varying R (Adam lr=5e-3, tol=1e-6, cap=5000).
+
+Output parity quirks preserved deliberately (they are what the reference's
+golden files contain):
+  * data blocks are packed in [top, right, bottom, left] order while columns
+    are labeled in the [top, bottom, right, left] keypoint order
+    (eks/ibl_pupil_smoother.py:313-319 vs :356);
+  * block i's likelihood column is ``ensemble_likes[:, i]`` — the i-th
+    keypoint's likelihood, not the block's (:332);
+  * posterior variances are read at indices (i, i) and (i+1, i+1) instead of
+    (2i, 2i+1) (:347-351).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import warnings
+from functools import partial
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+from jax import lax, value_and_grad
+
+from eks_tpu.core import ensemble
+from eks_tpu.marker_array import MarkerArray, input_dfs_to_markerArray
+from eks_tpu.ops.linalg import highest_precision
+from eks_tpu.ops.pkalman import kalman_filter_parallel, kalman_smoother_parallel
+from eks_tpu.utils import crop_frames, format_data, make_dlc_pandas_index
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "fit_eks_pupil",
+    "ensemble_kalman_smoother_ibl_pupil",
+    "get_pupil_location",
+    "get_pupil_diameter",
+    "add_mean_to_array",
+    "run_pupil_kalman_smoother",
+    "pupil_optimize_smooth",
+]
+
+# the pupil smoother requires this exact keypoint set and order
+BODYPART_LIST = ["pupil_top_r", "pupil_bottom_r", "pupil_right_r", "pupil_left_r"]
+
+# emission matrix: rows are (top_x, top_y, bottom_x, bottom_y, right_x,
+# right_y, left_x, left_y), state is [diameter, com_x, com_y]
+PUPIL_C = np.asarray(
+    [
+        [0, 1, 0],
+        [-0.5, 0, 1],
+        [0, 1, 0],
+        [0.5, 0, 1],
+        [0.5, 1, 0],
+        [0, 0, 1],
+        [-0.5, 1, 0],
+        [0, 0, 1],
+    ]
+)
+
+
+def get_pupil_location(dlc: dict) -> np.ndarray:
+    """Pupil center-of-mass per frame from the four edge keypoints.
+
+    x: median of (top/bottom nanmedian, left/right median); y: median of
+    (top/bottom median, left/right nanmedian) — the reference's exact
+    NaN-tolerance pattern (eks/ibl_pupil_smoother.py:34-59).
+    """
+    t = np.vstack((dlc["pupil_top_r_x"], dlc["pupil_top_r_y"])).T
+    b = np.vstack((dlc["pupil_bottom_r_x"], dlc["pupil_bottom_r_y"])).T
+    le = np.vstack((dlc["pupil_left_r_x"], dlc["pupil_left_r_y"])).T
+    r = np.vstack((dlc["pupil_right_r_x"], dlc["pupil_right_r_y"])).T
+
+    center = np.zeros(t.shape)
+    tmp_x1 = np.nanmedian(np.hstack([t[:, 0, None], b[:, 0, None]]), axis=1)
+    tmp_x2 = np.median(np.hstack([r[:, 0, None], le[:, 0, None]]), axis=1)
+    center[:, 0] = np.nanmedian(np.hstack([tmp_x1[:, None], tmp_x2[:, None]]), axis=1)
+    tmp_y1 = np.median(np.hstack([t[:, 1, None], b[:, 1, None]]), axis=1)
+    tmp_y2 = np.nanmedian(np.hstack([r[:, 1, None], le[:, 1, None]]), axis=1)
+    center[:, 1] = np.nanmedian(np.hstack([tmp_y1[:, None], tmp_y2[:, None]]), axis=1)
+    return center
+
+
+def get_pupil_diameter(dlc: dict) -> np.ndarray:
+    """Pupil diameter per frame: median of two direct spans and four
+    circle-assumption estimates from non-crossing pairs
+    (eks/ibl_pupil_smoother.py:62-90)."""
+    top, bottom, left, right = [
+        np.vstack((dlc[f"pupil_{p}_r_x"], dlc[f"pupil_{p}_r_y"]))
+        for p in ["top", "bottom", "left", "right"]
+    ]
+    diameters = [
+        np.linalg.norm(top - bottom, axis=0),
+        np.linalg.norm(left - right, axis=0),
+    ]
+    for a, b in [(top, left), (top, right), (bottom, left), (bottom, right)]:
+        diameters.append(np.linalg.norm(a - b, axis=0) * 2**0.5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        return np.nanmedian(diameters, axis=0)
+
+
+def add_mean_to_array(
+    pred_arr: np.ndarray, keys: list[str], mean_x: float, mean_y: float
+) -> dict[str, np.ndarray]:
+    """Re-add COM means: keys containing 'x' get mean_x, others mean_y."""
+    out = {}
+    for i, key in enumerate(keys):
+        out[key] = pred_arr[:, i] + (mean_x if "x" in key else mean_y)
+    return out
+
+
+def fit_eks_pupil(
+    input_source: str | list,
+    save_file: str,
+    smooth_params: list | None = None,
+    s_frames: list | None = None,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+) -> tuple:
+    """Load ensemble CSVs and run the pupil smoother.
+
+    Returns:
+        (df_smoothed, smooth_params_final, input_dfs_list, bodypart_list)
+    """
+    input_dfs_list, _ = format_data(input_source)
+    logger.info(f"input data loaded for keypoints: {BODYPART_LIST}")
+    marker_array = input_dfs_to_markerArray([input_dfs_list], BODYPART_LIST, [""])
+
+    df_smoothed, smooth_params_final = ensemble_kalman_smoother_ibl_pupil(
+        marker_array=marker_array,
+        keypoint_names=BODYPART_LIST,
+        smooth_params=smooth_params,
+        s_frames=s_frames,
+        avg_mode=avg_mode,
+        var_mode=var_mode,
+    )
+
+    save_dir = os.path.dirname(save_file)
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+    df_smoothed.to_csv(save_file)
+    logger.info("dataframes successfully converted to CSV")
+    return df_smoothed, smooth_params_final, input_dfs_list, BODYPART_LIST
+
+
+def ensemble_kalman_smoother_ibl_pupil(
+    marker_array: MarkerArray,
+    keypoint_names: list,
+    smooth_params: list | None = None,
+    s_frames: list | None = None,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+) -> tuple:
+    """Array-level pupil smoother; returns (markers_df, [s_diam, s_com])."""
+    _, _, n_frames, n_keypoints, _ = marker_array.shape
+    keys = [f"{kp}_{coord}" for kp in keypoint_names for coord in ["x", "y"]]
+
+    emA = ensemble(marker_array, avg_mode=avg_mode, var_mode=var_mode)
+    ensemble_preds = emA.slice_fields("x", "y").array[0, 0].reshape(n_frames, -1)
+    ensemble_vars = emA.slice_fields("var_x", "var_y").array[0, 0].reshape(n_frames, -1)
+    ensemble_likes = emA.slice_fields("likelihood").array[0, 0, :, :, 0]  # (T, K)
+
+    named = {key: ensemble_preds[:, i] for i, key in enumerate(keys)}
+    pupil_diameters = get_pupil_diameter(named)
+    pupil_locations = get_pupil_location(named)
+    mean_x_obs = float(np.mean(pupil_locations[:, 0]))
+    mean_y_obs = float(np.mean(pupil_locations[:, 1]))
+    x_t_obs = pupil_locations[:, 0] - mean_x_obs
+    y_t_obs = pupil_locations[:, 1] - mean_y_obs
+
+    m0 = np.asarray([np.mean(pupil_diameters), 0.0, 0.0])
+    S0 = np.diag(
+        [np.nanvar(pupil_diameters), np.nanvar(x_t_obs), np.nanvar(y_t_obs)]
+    )
+
+    # center observations by the COM means (x columns even, y columns odd)
+    y_obs = ensemble_preds.copy()
+    y_obs[:, 0::2] -= mean_x_obs
+    y_obs[:, 1::2] -= mean_y_obs
+
+    s_finals, ms, Vs = run_pupil_kalman_smoother(
+        ys=jnp.asarray(y_obs),
+        m0=jnp.asarray(m0),
+        S0=jnp.asarray(S0),
+        C=jnp.asarray(PUPIL_C),
+        ensemble_vars=ensemble_vars,
+        diameters_var=float(np.var(pupil_diameters)),
+        x_var=float(np.var(x_t_obs)),
+        y_var=float(np.var(y_t_obs)),
+        s_frames=s_frames,
+        smooth_params=smooth_params,
+    )
+    logger.debug(f"diameter_s={s_finals[0]}, com_s={s_finals[1]}")
+
+    y_m_smooth = ms @ PUPIL_C.T  # (T, 8)
+    y_v_smooth = np.einsum("ij,tjl,ml->tim", PUPIL_C, Vs, PUPIL_C)  # (T, 8, 8)
+
+    processed = add_mean_to_array(y_m_smooth, keys, mean_x_obs, mean_y_obs)
+    key_pair_list = [
+        ["pupil_top_r_x", "pupil_top_r_y"],
+        ["pupil_right_r_x", "pupil_right_r_y"],
+        ["pupil_bottom_r_x", "pupil_bottom_r_y"],
+        ["pupil_left_r_x", "pupil_left_r_y"],
+    ]
+    ensemble_indices = [(0, 1), (4, 5), (2, 3), (6, 7)]
+
+    data_arr = []
+    labels = [
+        "x",
+        "y",
+        "likelihood",
+        "x_ens_median",
+        "y_ens_median",
+        "x_ens_var",
+        "y_ens_var",
+        "x_posterior_var",
+        "y_posterior_var",
+    ]
+    for i, key_pair in enumerate(key_pair_list):
+        data_arr.extend(
+            [
+                processed[key_pair[0]],
+                processed[key_pair[1]],
+                ensemble_likes[:, i],
+                ensemble_preds[:, ensemble_indices[i][0]],
+                ensemble_preds[:, ensemble_indices[i][1]],
+                ensemble_vars[:, ensemble_indices[i][0]],
+                ensemble_vars[:, ensemble_indices[i][1]],
+                y_v_smooth[:, i, i],
+                y_v_smooth[:, i + 1, i + 1],
+            ]
+        )
+
+    pdindex = make_dlc_pandas_index(keypoint_names, labels=labels)
+    markers_df = pd.DataFrame(np.asarray(data_arr).T, columns=pdindex)
+    return markers_df, s_finals
+
+
+# --------------------------------------------------------------------------- #
+# optimizer + smoother
+# --------------------------------------------------------------------------- #
+def _pupil_model(s_d, s_c, diameters_var, x_var, y_var):
+    A = jnp.diag(jnp.array([s_d, s_c, s_c]))
+    Q = jnp.diag(
+        jnp.array(
+            [
+                diameters_var * (1.0 - s_d**2),
+                x_var * (1.0 - s_c**2),
+                y_var * (1.0 - s_c**2),
+            ]
+        )
+    )
+    return A, Q
+
+
+@partial(
+    jax.jit,
+    static_argnames=("diameters_var", "x_var", "y_var", "lr", "tol", "safety_cap"),
+)
+@highest_precision
+def _pupil_optimize_jit(
+    y_loss, r_loss, m0, S0, C, u0,
+    diameters_var: float, x_var: float, y_var: float,
+    lr: float, tol: float, safety_cap: int,
+):
+    eps = 1e-3
+
+    def to_s(u):
+        return jax.nn.sigmoid(u) * (1.0 - 2 * eps) + eps
+
+    def nll(u):
+        s = to_s(u)
+        A, Q = _pupil_model(s[0], s[1], diameters_var, x_var, y_var)
+        res = kalman_filter_parallel(y_loss, m0, S0, A, Q, C, r_loss)
+        v = -res.log_likelihood
+        return jnp.where(jnp.isfinite(v), v, 1e12)
+
+    loss_and_grad = value_and_grad(nll)
+    opt = optax.adam(lr)
+    opt_state0 = opt.init(u0)
+
+    def cond(carry):
+        _, _, prev_loss, iters, done = carry
+        return jnp.logical_and(~done, iters < safety_cap)
+
+    def body(carry):
+        u, opt_state, prev_loss, iters, _ = carry
+        loss, grad = loss_and_grad(u)
+        updates, opt_state = opt.update(grad, opt_state)
+        u = optax.apply_updates(u, updates)
+        rel_tol = tol * jnp.abs(jnp.log(jnp.maximum(prev_loss, 1e-12)))
+        done = jnp.where(
+            jnp.isfinite(prev_loss),
+            jnp.abs(loss - prev_loss) < (rel_tol + 1e-6),
+            False,
+        )
+        return (u, opt_state, loss, iters + 1, done)
+
+    u_f, _, last_loss, iters_f, _ = lax.while_loop(
+        cond, body, (u0, opt_state0, jnp.inf, jnp.array(0), jnp.array(False))
+    )
+    return to_s(u_f), last_loss, iters_f
+
+
+def pupil_optimize_smooth(
+    ys: jnp.ndarray,  # (T, 8) centered observations
+    m0: jnp.ndarray,
+    S0: jnp.ndarray,
+    C: jnp.ndarray,
+    ensemble_vars: np.ndarray,  # (T, 8)
+    diameters_var: float,
+    x_var: float,
+    y_var: float,
+    s_frames: list | None = None,
+    smooth_params: list | None = None,
+    lr: float = 5e-3,
+    tol: float = 1e-6,
+    safety_cap: int = 5000,
+) -> tuple[float, float]:
+    """Tune ``[s_diam, s_com]`` by filter NLL on (optionally cropped) frames,
+    in sigmoid-unconstrained space starting from [0.99, 0.98]."""
+    if smooth_params is not None and all(v is not None for v in smooth_params):
+        s = np.clip(np.asarray(smooth_params, dtype=np.float32), 1e-3, 1 - 1e-3)
+        return float(s[0]), float(s[1])
+
+    ys_np = np.asarray(ys)
+    vars_np = np.clip(np.asarray(ensemble_vars), 1e-12, None)
+    if s_frames and len(s_frames) > 0:
+        y_loss = crop_frames(ys_np, s_frames)
+        r_loss = crop_frames(vars_np, s_frames)
+    else:
+        y_loss, r_loss = ys_np, vars_np
+
+    s0 = np.array([0.99, 0.98], dtype=np.float32)
+    u0 = np.log(s0 / (1.0 - s0))
+    s_opt, last_loss, iters = _pupil_optimize_jit(
+        jnp.asarray(y_loss), jnp.asarray(r_loss),
+        jnp.asarray(m0), jnp.asarray(S0), jnp.asarray(C), jnp.asarray(u0),
+        diameters_var=float(diameters_var), x_var=float(x_var), y_var=float(y_var),
+        lr=float(lr), tol=float(tol), safety_cap=int(safety_cap),
+    )
+    s_opt = np.asarray(s_opt)
+    logger.debug(
+        f"[pupil] iters={int(iters)}  s_diam={float(s_opt[0]):.6f}  "
+        f"s_com={float(s_opt[1]):.6f}  NLL={float(last_loss):.6f}"
+    )
+    return float(s_opt[0]), float(s_opt[1])
+
+
+def run_pupil_kalman_smoother(
+    ys: jnp.ndarray,  # (T, 8)
+    m0: jnp.ndarray,
+    S0: jnp.ndarray,
+    C: jnp.ndarray,
+    ensemble_vars: np.ndarray,
+    diameters_var: float,
+    x_var: float,
+    y_var: float,
+    s_frames: list | None = None,
+    smooth_params: list | None = None,
+    lr: float = 5e-3,
+    tol: float = 1e-6,
+    safety_cap: int = 5000,
+    sequential: bool = False,
+) -> tuple[list[float], np.ndarray, np.ndarray]:
+    """Optimize [s_diam, s_com], then smooth the full sequence with
+    time-varying R. Returns ([s_diam, s_com], ms (T,3), Vs (T,3,3))."""
+    s_d, s_c = pupil_optimize_smooth(
+        ys=ys, m0=m0, S0=S0, C=C, ensemble_vars=ensemble_vars,
+        diameters_var=diameters_var, x_var=x_var, y_var=y_var,
+        s_frames=s_frames, smooth_params=smooth_params,
+        lr=lr, tol=tol, safety_cap=safety_cap,
+    )
+
+    A, Q = _pupil_model(
+        jnp.asarray(s_d), jnp.asarray(s_c), diameters_var, x_var, y_var
+    )
+    r = jnp.asarray(np.clip(np.asarray(ensemble_vars), 1e-12, None))
+    if sequential:
+        res = kalman_smoother_seq_wrapper(ys, m0, S0, A, Q, C, r)
+    else:
+        res = kalman_smoother_parallel(ys, m0, S0, A, Q, C, r)
+    return (
+        [float(s_d), float(s_c)],
+        np.asarray(res.smoothed_means),
+        np.asarray(res.smoothed_covs),
+    )
+
+
+def kalman_smoother_seq_wrapper(ys, m0, S0, A, Q, C, r):
+    from eks_tpu.ops.kalman import kalman_smoother
+
+    return kalman_smoother(ys, m0, S0, A, Q, C=C, r_diag=r)

@@ -1,0 +1,136 @@
+"""IBL pupil smoother: estimators, packaging quirks, optimizer, e2e."""
+
+import numpy as np
+import pytest
+
+from eks_tpu.marker_array import MarkerArray
+from eks_tpu.models.ibl_pupil import (
+    BODYPART_LIST,
+    add_mean_to_array,
+    ensemble_kalman_smoother_ibl_pupil,
+    fit_eks_pupil,
+    get_pupil_diameter,
+    get_pupil_location,
+)
+from tests.conftest import REFERENCE_DATA, reference_data_available
+
+
+def _dlc_dict(rng, T=50, center=(60.0, 40.0), diam=10.0):
+    cx, cy = center
+    d = {}
+    d["pupil_top_r_x"] = np.full(T, cx) + rng.normal(size=T) * 0.1
+    d["pupil_top_r_y"] = np.full(T, cy - diam / 2) + rng.normal(size=T) * 0.1
+    d["pupil_bottom_r_x"] = np.full(T, cx) + rng.normal(size=T) * 0.1
+    d["pupil_bottom_r_y"] = np.full(T, cy + diam / 2) + rng.normal(size=T) * 0.1
+    d["pupil_right_r_x"] = np.full(T, cx + diam / 2) + rng.normal(size=T) * 0.1
+    d["pupil_right_r_y"] = np.full(T, cy) + rng.normal(size=T) * 0.1
+    d["pupil_left_r_x"] = np.full(T, cx - diam / 2) + rng.normal(size=T) * 0.1
+    d["pupil_left_r_y"] = np.full(T, cy) + rng.normal(size=T) * 0.1
+    return d
+
+
+def test_get_pupil_diameter(rng):
+    d = _dlc_dict(rng)
+    diam = get_pupil_diameter(d)
+    assert diam.shape == (50,)
+    np.testing.assert_allclose(diam, 10.0, atol=0.5)
+
+
+def test_get_pupil_diameter_with_nans(rng):
+    d = _dlc_dict(rng)
+    d["pupil_top_r_x"][5] = np.nan
+    d["pupil_top_r_y"][5] = np.nan
+    diam = get_pupil_diameter(d)
+    assert np.isfinite(diam[5])  # median over remaining estimates
+
+
+def test_get_pupil_location(rng):
+    d = _dlc_dict(rng)
+    loc = get_pupil_location(d)
+    np.testing.assert_allclose(loc[:, 0], 60.0, atol=0.5)
+    np.testing.assert_allclose(loc[:, 1], 40.0, atol=0.5)
+    # NaN in top x is tolerated (nanmedian branch)
+    d["pupil_top_r_x"][3] = np.nan
+    loc2 = get_pupil_location(d)
+    assert np.isfinite(loc2[3, 0])
+
+
+def test_add_mean_to_array():
+    arr = np.zeros((4, 4))
+    keys = ["a_x", "a_y", "b_x", "b_y"]
+    out = add_mean_to_array(arr, keys, 10.0, 20.0)
+    np.testing.assert_array_equal(out["a_x"], np.full(4, 10.0))
+    np.testing.assert_array_equal(out["b_y"], np.full(4, 20.0))
+
+
+def _pupil_marker_array(rng, M=4, T=120):
+    d = _dlc_dict(rng, T=T)
+    arr = np.zeros((M, 1, T, 4, 3))
+    for k, kp in enumerate(BODYPART_LIST):
+        base = np.stack([d[f"{kp}_x"], d[f"{kp}_y"]], axis=-1)
+        arr[:, 0, :, k, :2] = base[None] + rng.normal(size=(M, T, 2)) * 0.2
+    arr[..., 2] = rng.uniform(0.8, 1.0, size=(M, 1, T, 4))
+    return MarkerArray(arr, data_fields=["x", "y", "likelihood"])
+
+
+@pytest.mark.parametrize("sp", [[0.9, 0.95], None, [None, None]])
+def test_pupil_smoother_param_modes(rng, sp):
+    ma = _pupil_marker_array(rng)
+    df, s_finals = ensemble_kalman_smoother_ibl_pupil(
+        ma, BODYPART_LIST, smooth_params=sp
+    )
+    assert len(s_finals) == 2
+    assert 0 < s_finals[0] < 1 and 0 < s_finals[1] < 1
+    if sp == [0.9, 0.95]:
+        np.testing.assert_allclose(s_finals, sp, atol=1e-6)
+    assert df.shape == (120, 4 * 9)
+    assert np.isfinite(df.to_numpy()).all()
+
+
+def test_pupil_output_schema_and_quirks(rng):
+    ma = _pupil_marker_array(rng)
+    df, _ = ensemble_kalman_smoother_ibl_pupil(ma, BODYPART_LIST, smooth_params=[0.95, 0.95])
+    # columns use the keypoint order...
+    bps = df.columns.get_level_values("bodyparts").unique().tolist()
+    assert bps == BODYPART_LIST
+    # ...but the block under 'pupil_bottom_r' carries the RIGHT keypoint's
+    # ensemble median (reference packaging quirk)
+    bottom_med_x = df[("ensemble-kalman_tracker", "pupil_bottom_r", "x_ens_median")]
+    right_kp_idx = BODYPART_LIST.index("pupil_right_r")
+    ens = ensembled_medians(ma)
+    np.testing.assert_allclose(
+        bottom_med_x.to_numpy(), ens[:, right_kp_idx, 0], rtol=1e-5
+    )
+
+
+def ensembled_medians(ma):
+    from eks_tpu.core import ensemble
+
+    emA = ensemble(ma)
+    return emA.slice_fields("x", "y").array[0, 0]  # (T, K, 2)
+
+
+def test_pupil_geometry_consistency(rng):
+    # smoothed outputs respect the emission geometry: top_x == bottom_x (com_x)
+    ma = _pupil_marker_array(rng)
+    df, _ = ensemble_kalman_smoother_ibl_pupil(ma, BODYPART_LIST, smooth_params=[0.9, 0.9])
+    get = lambda kp, c: df[("ensemble-kalman_tracker", kp, c)].to_numpy()
+    # block order quirk: 'pupil_right_r' column block holds bottom's data, so
+    # compare via the underlying geometry instead: top_x block vs bottom block
+    top_x = get("pupil_top_r", "x")
+    bottom_x = get("pupil_right_r", "x")  # block 2 = bottom (quirk)
+    np.testing.assert_allclose(top_x, bottom_x, atol=1e-4)
+
+
+@pytest.mark.skipif(not reference_data_available(), reason="reference data missing")
+def test_fit_eks_pupil_e2e(tmp_path):
+    df, s_finals, input_dfs, kps = fit_eks_pupil(
+        input_source=f"{REFERENCE_DATA}/ibl-pupil",
+        save_file=str(tmp_path / "pupil.csv"),
+        s_frames=[(0, 500)],
+    )
+    assert (tmp_path / "pupil.csv").exists()
+    assert kps == BODYPART_LIST
+    assert 0 < s_finals[0] < 1 and 0 < s_finals[1] < 1
+    assert df.shape == (2000, 36)
+    assert np.isfinite(df.to_numpy()).all()
