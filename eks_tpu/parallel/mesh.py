@@ -1,0 +1,153 @@
+"""Multi-chip scaling: keypoint-axis data parallelism over a device mesh.
+
+Every keypoint's filter/optimizer lane is independent (the reference is
+single-device and batches with vmap only — SURVEY.md §2.3), so the natural
+multi-chip extension is sharding the (keypoints | blocks) leading axis over a
+1-D ``Mesh`` with ``jax.sharding.NamedSharding``; XLA partitions the vmapped
+programs with zero cross-device communication in the steady state. Uneven
+keypoint counts are padded by replicating lane 0 (results of padding lanes
+are discarded).
+
+Time-axis (sequence-parallel) sharding of the associative scan is the second
+axis of scale; the O(log T) prefix combine maps to XLA collective-permute
+chains under the SPMD partitioner. The keypoint axis is preferred while
+K >= n_devices, which holds for every bundled workload.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from eks_tpu.core import _optimize_blocks, _smooth_all
+
+__all__ = ["make_mesh", "shard_leading", "optimize_and_smooth_sharded"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "kp") -> Mesh:
+    """1-D device mesh over the keypoint/block axis.
+
+    If the default platform has fewer devices than requested (e.g. one real
+    TPU chip while a virtual multi-device CPU platform is also present),
+    falls back to the CPU backend's devices.
+    """
+    devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        try:
+            cpu_devices = jax.devices("cpu")
+            if len(cpu_devices) >= n_devices:
+                devices = cpu_devices
+        except RuntimeError:
+            pass
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} available"
+            )
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _pad_leading(x: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+    """Pad axis 0 to a multiple by replicating the first element."""
+    n = x.shape[0]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return x, n
+    pad = np.broadcast_to(x[:1], (target - n, *x.shape[1:]))
+    return np.concatenate([x, pad], axis=0), n
+
+
+def shard_leading(mesh: Mesh, x, axis_name: str = "kp"):
+    """Device-put an array sharded on its leading axis (must be padded)."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(jnp.asarray(x), sharding)
+
+
+def optimize_and_smooth_sharded(
+    ys: np.ndarray,  # (K, T, O)
+    m0s: np.ndarray,  # (K, D)
+    S0s: np.ndarray,  # (K, D, D)
+    As: np.ndarray,  # (K, D, D)
+    Qs: np.ndarray,  # (K, D, D)
+    Cs: np.ndarray,  # (K, O, D)
+    ensemble_vars: np.ndarray,  # (K, T, O) per-step variances
+    mesh: Mesh,
+    s_log_init: np.ndarray | None = None,  # (K,)
+    lr: float = 0.25,
+    tol: float = 1e-2,
+    safety_cap: int = 300,
+    min_R_var: float = 1e-4,
+    axis_name: str = "kp",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The full smoothing step — per-keypoint s optimization followed by the
+    final smoothing pass — with every keypoint-batched input sharded over the
+    mesh. Singleton blocks only (one s per keypoint).
+
+    Returns host arrays (s_finals (K,), ms (K, T, D), Vs (K, T, D, D)).
+    """
+    n_dev = int(np.prod(mesh.devices.shape))
+    K = ys.shape[0]
+
+    vars_clipped = np.clip(np.asarray(ensemble_vars), 1e-12, None)
+    r_const = np.clip(np.median(vars_clipped, axis=1), min_R_var, np.inf)  # (K, O)
+    if s_log_init is None:
+        s_log_init = np.zeros(K, dtype=np.float32)
+
+    # pad the keypoint axis to the mesh size and shard every batched operand
+    padded = {}
+    operands = {
+        "ys": np.asarray(ys),
+        "r_const": r_const,
+        "m0s": np.asarray(m0s),
+        "S0s": np.asarray(S0s),
+        "As": np.asarray(As),
+        "Qs": np.asarray(Qs),
+        "Cs": np.asarray(Cs),
+        "s_log_init": np.asarray(s_log_init, dtype=np.float32),
+        "rs": vars_clipped,
+    }
+    for name, arr in operands.items():
+        arr_p, _ = _pad_leading(arr, n_dev)
+        padded[name] = shard_leading(mesh, arr_p, axis_name)
+
+    Kp = padded["ys"].shape[0]
+    mask = shard_leading(mesh, np.ones((Kp, 1), dtype=np.float32), axis_name)
+
+    # optimizer over singleton blocks: add the member axis (B_max = 1)
+    add_member = lambda x: x[:, None]
+    s_log_f, last_loss, iters = _optimize_blocks(
+        add_member(padded["ys"]),
+        add_member(padded["r_const"]),
+        add_member(padded["m0s"]),
+        add_member(padded["S0s"]),
+        add_member(padded["As"]),
+        add_member(padded["Qs"]),
+        add_member(padded["Cs"]),
+        mask,
+        padded["s_log_init"],
+        lr=float(lr),
+        tol=float(tol),
+        safety_cap=int(safety_cap),
+    )
+    s_finals = jnp.exp(jnp.clip(s_log_f, -8.0, 8.0))
+
+    ms, Vs = _smooth_all(
+        padded["ys"],
+        padded["m0s"],
+        padded["S0s"],
+        padded["As"],
+        padded["Qs"],
+        padded["Cs"],
+        s_finals.astype(padded["ys"].dtype),
+        padded["rs"],
+    )
+    return (
+        np.asarray(s_finals)[:K],
+        np.asarray(ms)[:K],
+        np.asarray(Vs)[:K],
+    )

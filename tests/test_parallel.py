@@ -1,0 +1,53 @@
+"""Mesh sharding: multi-device smoothing step on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eks_tpu.core import run_kalman_smoother
+from eks_tpu.parallel import make_mesh, optimize_and_smooth_sharded
+
+
+def _toy(rng, K, T=80, O=2, D=2):
+    ys = rng.normal(size=(K, T, O)).cumsum(axis=1) * 0.1
+    ev = np.abs(rng.normal(size=(K, T, O))) * 0.2 + 0.05
+    eye = np.tile(np.eye(D), (K, 1, 1))
+    m0s = np.zeros((K, D))
+    S0s = eye.copy()
+    return ys, m0s, S0s, eye, eye, eye, ev
+
+
+def test_mesh_creation():
+    mesh = make_mesh()
+    assert int(np.prod(mesh.devices.shape)) == len(jax.devices())
+    mesh4 = make_mesh(4)
+    assert int(np.prod(mesh4.devices.shape)) == 4
+
+
+@pytest.mark.parametrize("K", [8, 5])  # even and uneven (padding) cases
+def test_sharded_matches_single_device(rng, K):
+    ys, m0s, S0s, As, Qs, Cs, ev = _toy(rng, K)
+    mesh = make_mesh(4)
+    s_sh, ms_sh, Vs_sh = optimize_and_smooth_sharded(
+        ys, m0s, S0s, As, Qs, Cs, ev, mesh=mesh
+    )
+    # single-device core path with matching optimizer configuration
+    s_ref, ms_ref, Vs_ref = run_kalman_smoother(
+        jnp.asarray(ys), jnp.asarray(m0s), jnp.asarray(S0s), jnp.asarray(As),
+        jnp.asarray(Cs), jnp.asarray(Qs), np.swapaxes(ev, 0, 1),
+        smooth_param=list(map(float, s_sh)),
+    )
+    assert s_sh.shape == (K,)
+    assert np.isfinite(s_sh).all() and (s_sh > 0).all()
+    np.testing.assert_allclose(ms_sh, ms_ref, atol=1e-4)
+    np.testing.assert_allclose(Vs_sh, Vs_ref, atol=1e-4)
+
+
+def test_sharded_outputs_are_distributed(rng):
+    ys, m0s, S0s, As, Qs, Cs, ev = _toy(rng, 8)
+    mesh = make_mesh(8)
+    s, ms, Vs = optimize_and_smooth_sharded(ys, m0s, S0s, As, Qs, Cs, ev, mesh=mesh)
+    assert ms.shape == (8, 80, 2)
+    assert np.isfinite(ms).all()
