@@ -19,6 +19,16 @@ import time
 
 import numpy as np
 
+# persistent compilation cache: first-compile on this platform is minutes;
+# cache it across bench invocations
+import jax as _jax
+
+_jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 T, K, SEEDS = 10_000, 20, 5
 SAFETY_CAP = 300
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")

@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax import lax, value_and_grad, vmap
+from jax import lax, vmap
 
 from eks_tpu.marker_array import MarkerArray
 from eks_tpu.ops.kalman import kalman_filter, kalman_smoother
@@ -203,7 +203,12 @@ def _optimize_blocks(
             nlls = vmap(member_nll)(y_b, r_b, m0_b, S0_b, A_b, Q_b, C_b)
             return jnp.sum(nlls * mask_b)
 
-        loss_and_grad = value_and_grad(loss_fn)
+        # the parameter is a scalar, so forward-mode differentiation (one
+        # jvp) beats reverse mode: ~2x one forward pass, no residual storage
+        # for the backward sweep through the prefix scan. Iterates are
+        # bitwise-identical to value_and_grad.
+        def loss_and_grad(s_log):
+            return jax.jvp(loss_fn, (s_log,), (jnp.ones_like(s_log),))
         opt = optax.adam(1.0)
         opt_state = opt.init(s_log0)
 

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 import pandas as pd
-from jax import lax, value_and_grad
+from jax import lax
 
 from eks_tpu.core import ensemble
 from eks_tpu.marker_array import MarkerArray, input_dfs_to_markerArray
@@ -266,16 +266,15 @@ def _pupil_model(s_d, s_c, diameters_var, x_var, y_var):
     return A, Q
 
 
-@partial(
-    jax.jit,
-    static_argnames=("diameters_var", "x_var", "y_var", "lr", "tol", "safety_cap"),
-)
+@partial(jax.jit, static_argnames=("lr", "tol", "safety_cap"))
 @highest_precision
 def _pupil_optimize_jit(
     y_loss, r_loss, m0, S0, C, u0,
-    diameters_var: float, x_var: float, y_var: float,
+    diameters_var, x_var, y_var,
     lr: float, tol: float, safety_cap: int,
 ):
+    # NOTE: the per-session variance scales are traced (NOT static) so a new
+    # dataset does not recompile this program
     eps = 1e-3
 
     def to_s(u):
@@ -288,7 +287,12 @@ def _pupil_optimize_jit(
         v = -res.log_likelihood
         return jnp.where(jnp.isfinite(v), v, 1e12)
 
-    loss_and_grad = value_and_grad(nll)
+    # two parameters -> forward-mode gradient (2 jvp passes) instead of one
+    # reverse sweep with full residual storage through the prefix scan
+    def loss_and_grad(u):
+        loss, g0 = jax.jvp(nll, (u,), (jnp.array([1.0, 0.0], dtype=u.dtype),))
+        _, g1 = jax.jvp(nll, (u,), (jnp.array([0.0, 1.0], dtype=u.dtype),))
+        return loss, jnp.stack([g0, g1])
     opt = optax.adam(lr)
     opt_state0 = opt.init(u0)
 
@@ -349,7 +353,9 @@ def pupil_optimize_smooth(
     s_opt, last_loss, iters = _pupil_optimize_jit(
         jnp.asarray(y_loss), jnp.asarray(r_loss),
         jnp.asarray(m0), jnp.asarray(S0), jnp.asarray(C), jnp.asarray(u0),
-        diameters_var=float(diameters_var), x_var=float(x_var), y_var=float(y_var),
+        diameters_var=jnp.float32(diameters_var),
+        x_var=jnp.float32(x_var),
+        y_var=jnp.float32(y_var),
         lr=float(lr), tol=float(tol), safety_cap=int(safety_cap),
     )
     s_opt = np.asarray(s_opt)

@@ -15,7 +15,14 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve, solve_triangular
 
-__all__ = ["symmetrize", "psd_solve", "small_inv", "mvn_logpdf", "highest_precision"]
+__all__ = [
+    "symmetrize",
+    "psd_solve",
+    "small_inv",
+    "mvn_logpdf",
+    "highest_precision",
+    "force_unrolled_small_linalg",
+]
 
 
 def highest_precision(fn):
@@ -41,10 +48,94 @@ def symmetrize(a: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (a + jnp.swapaxes(a, -1, -2))
 
 
+# Above this dimension, fall back to LAPACK-style batched kernels; at or below
+# it, unroll the Cholesky/solves at trace time. TPU's blocked linalg kernels
+# are pathological on 2x2..8x8 batches (measured ~20x of the whole pipeline),
+# which is all this library ever uses — but on CPU the unrolled graphs cost
+# far more XLA compile time than LAPACK calls, so unrolling is gated on the
+# default backend. Tests exercise the unrolled path explicitly via
+# `force_unrolled_small_linalg`.
+_UNROLL_DIM = 8
+_FORCE_UNROLL: bool | None = None  # None = auto (TPU only)
+
+
+def _use_unrolled(dim: int) -> bool:
+    if dim > _UNROLL_DIM:
+        return False
+    if _FORCE_UNROLL is not None:
+        return _FORCE_UNROLL
+    return jax.default_backend() == "tpu"
+
+
+class force_unrolled_small_linalg:
+    """Context manager pinning the small-dim linalg implementation choice
+    (True = unrolled, False = LAPACK) regardless of backend."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _FORCE_UNROLL
+        self._prev = _FORCE_UNROLL
+        _FORCE_UNROLL = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_UNROLL
+        _FORCE_UNROLL = self._prev
+        return False
+
+
+def _chol_unrolled(a: jnp.ndarray) -> list[list]:
+    """Lower Cholesky factor of (..., O, O), unrolled over O at trace time.
+    Returns a list-of-lists of (...,) planes (entries above diag omitted)."""
+    o = a.shape[-1]
+    L: list[list] = [[None] * o for _ in range(o)]
+    for i in range(o):
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_solve_unrolled(L: list[list], b: jnp.ndarray, vector: bool) -> jnp.ndarray:
+    """Solve (L Lᵀ) x = b given the unrolled factor; b is (..., O) if
+    ``vector`` else (..., O, M)."""
+    o = len(L)
+    if vector:
+        bs = [b[..., i] for i in range(o)]
+    else:
+        bs = [b[..., i, :] for i in range(o)]
+        L = [[entry[..., None] for entry in row if entry is not None] for row in L]
+    # forward substitution: L y = b
+    y: list = [None] * o
+    for i in range(o):
+        s = bs[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution: Lᵀ x = y
+    x: list = [None] * o
+    for i in range(o - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, o):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1) if vector else jnp.stack(x, axis=-2)
+
+
 def psd_solve(a: jnp.ndarray, b: jnp.ndarray, diagonal_boost: float = 1e-9) -> jnp.ndarray:
     """Solve ``a x = b`` for symmetric positive-definite ``a`` via Cholesky,
     with symmetrization and a small diagonal boost for robustness."""
     a = symmetrize(a) + diagonal_boost * jnp.eye(a.shape[-1], dtype=a.dtype)
+    if _use_unrolled(a.shape[-1]):
+        vector = b.ndim == a.ndim - 1
+        return _chol_solve_unrolled(_chol_unrolled(a), b, vector)
     factors = cho_factor(a, lower=True)
     return cho_solve(factors, b)
 
@@ -102,8 +193,23 @@ def mvn_logpdf(y: jnp.ndarray, mean: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarr
     """log N(y; mean, cov) via Cholesky (no jitter), matching
     tfd.MultivariateNormalFullCovariance.log_prob semantics."""
     n = y.shape[-1]
+    d = y - mean
+    if _use_unrolled(n):
+        L = _chol_unrolled(cov)
+        # forward substitution z = L^{-1} d, unrolled
+        ds = [d[..., i] for i in range(n)]
+        z: list = [None] * n
+        logdet = 0.0
+        for i in range(n):
+            s = ds[i]
+            for k in range(i):
+                s = s - L[i][k] * z[k]
+            z[i] = s / L[i][i]
+            logdet = logdet + jnp.log(L[i][i])
+        quad = sum(zi**2 for zi in z)
+        return -0.5 * quad - logdet - 0.5 * n * _LOG_2PI
     chol = jnp.linalg.cholesky(cov)
-    z = solve_triangular(chol, y - mean, lower=True)
+    z = solve_triangular(chol, d, lower=True)
     return (
         -0.5 * jnp.sum(z**2, axis=-1)
         - jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)

@@ -9,13 +9,19 @@ Bayesian Smoothers*, IEEE TAC 2021) and evaluated with
 sequence/context parallelism for this workload and the headline algorithmic
 change of the TPU rebuild (SURVEY.md §2.3, §5).
 
+Layout: the scan elements are carried as a **structure of scalar planes** —
+one (T,)-shaped array per matrix entry — rather than (T, D, D) tensors. The
+state dimension is 2 or 3, so an AoS layout puts the matrices in the TPU's
+tiled minor dimensions at a few-percent lane utilization; with scalar planes
+every combine is pure elementwise VPU work over the time axis and the D x D
+algebra unrolls at trace time (closed-form inverses, no LU).
+
 Filtering element per step t: an affine-Gaussian conditional map
 ``(m, P) -> posterior after predict+update`` parameterised as
 ``(A_t, b_t, C_t, eta_t, J_t)``; prefix-combining elements 0..t yields the
 filtered moments ``m_{t|t} = b_{0:t}``, ``P_{t|t} = C_{0:t}``. The per-step
 marginal log-likelihoods are then a batched elementwise pass over the
 (shifted) filtered moments, so total NLL matches the sequential filter.
-
 Smoothing element per step t: the backward affine map ``(E_t, g_t, L_t)``
 with suffix combination — a reverse associative scan.
 
@@ -35,19 +41,147 @@ from jax import lax, vmap
 from eks_tpu.ops.kalman import FilterResult, SmootherResult, _as_time_varying
 from eks_tpu.ops.linalg import highest_precision, mvn_logpdf, psd_solve, small_inv
 
-__all__ = ["kalman_filter_parallel", "kalman_smoother_parallel"]
+__all__ = ["kalman_filter_parallel", "kalman_smoother_parallel", "force_soa_scan"]
+
+# The scalar-plane (SoA) layout wins big on TPU but loses on CPU, where XLA
+# vectorizes small (T, D, D) tensor batches well and the unrolled scalar
+# graphs thrash a single core. Auto: SoA on TPU, AoS elsewhere.
+_FORCE_SOA: bool | None = None
+
+
+def _use_soa() -> bool:
+    if _FORCE_SOA is not None:
+        return _FORCE_SOA
+    return jax.default_backend() == "tpu"
+
+
+class force_soa_scan:
+    """Context manager pinning the scan-element layout (True = scalar planes,
+    False = (T, D, D) tensors) regardless of backend."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _FORCE_SOA
+        self._prev = _FORCE_SOA
+        _FORCE_SOA = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_SOA
+        _FORCE_SOA = self._prev
+        return False
+
+
+# --------------------------------------------------------------------------- #
+# scalar-plane matrix algebra (unrolled at trace time; leaves are (T,) arrays)
+# --------------------------------------------------------------------------- #
+def _to_planes(M):
+    """(T, D1, D2) -> tuple-of-tuples of (T,) planes."""
+    d1, d2 = M.shape[-2], M.shape[-1]
+    return tuple(tuple(M[..., i, j] for j in range(d2)) for i in range(d1))
+
+
+def _vec_to_planes(v):
+    return tuple(v[..., i] for i in range(v.shape[-1]))
+
+
+def _planes_to_mat(p):
+    return jnp.stack([jnp.stack(row, axis=-1) for row in p], axis=-2)
+
+
+def _planes_to_vec(p):
+    return jnp.stack(p, axis=-1)
+
+
+def _pmatmul(a, b):
+    rows, inner, cols = len(a), len(b), len(b[0])
+    return tuple(
+        tuple(sum(a[i][k] * b[k][j] for k in range(inner)) for j in range(cols))
+        for i in range(rows)
+    )
+
+
+def _pmatvec(a, x):
+    return tuple(sum(a[i][k] * x[k] for k in range(len(x))) for i in range(len(a)))
+
+
+def _pt(a):
+    return tuple(tuple(a[j][i] for j in range(len(a))) for i in range(len(a[0])))
+
+
+def _padd(a, b):
+    return tuple(
+        tuple(a[i][j] + b[i][j] for j in range(len(a[0]))) for i in range(len(a))
+    )
+
+
+def _pvadd(x, y):
+    return tuple(x[i] + y[i] for i in range(len(x)))
+
+
+def _pvsub(x, y):
+    return tuple(x[i] - y[i] for i in range(len(x)))
+
+
+def _peye_plus(a):
+    """I + a, elementwise planes."""
+    return tuple(
+        tuple(a[i][j] + (1.0 if i == j else 0.0) for j in range(len(a[0])))
+        for i in range(len(a))
+    )
+
+
+def _pinv(a):
+    """Closed-form inverse of a D<=3 plane matrix (adjugate / det)."""
+    d = len(a)
+    if d == 1:
+        return ((1.0 / a[0][0],),)
+    if d == 2:
+        (a00, a01), (a10, a11) = a
+        det = a00 * a11 - a01 * a10
+        inv = 1.0 / det
+        return ((a11 * inv, -a01 * inv), (-a10 * inv, a00 * inv))
+    if d == 3:
+        (a00, a01, a02), (a10, a11, a12), (a20, a21, a22) = a
+        c00 = a11 * a22 - a12 * a21
+        c01 = a12 * a20 - a10 * a22
+        c02 = a10 * a21 - a11 * a20
+        det = a00 * c00 + a01 * c01 + a02 * c02
+        inv = 1.0 / det
+        c10 = a02 * a21 - a01 * a22
+        c11 = a00 * a22 - a02 * a20
+        c12 = a01 * a20 - a00 * a21
+        c20 = a01 * a12 - a02 * a11
+        c21 = a02 * a10 - a00 * a12
+        c22 = a00 * a11 - a01 * a10
+        return (
+            (c00 * inv, c10 * inv, c20 * inv),
+            (c01 * inv, c11 * inv, c21 * inv),
+            (c02 * inv, c12 * inv, c22 * inv),
+        )
+    raise NotImplementedError(f"plane inverse only implemented for D<=3, got {d}")
 
 
 class _FilterElement(NamedTuple):
+    A: tuple  # planes (D, D) of (T,)
+    b: tuple  # planes (D,) of (T,)
+    C: tuple
+    eta: tuple
+    J: tuple
+
+
+class _FilterElementAoS(NamedTuple):
     A: jnp.ndarray  # (T, D, D)
     b: jnp.ndarray  # (T, D)
-    C: jnp.ndarray  # (T, D, D)
-    eta: jnp.ndarray  # (T, D)
-    J: jnp.ndarray  # (T, D, D)
+    C: jnp.ndarray
+    eta: jnp.ndarray
+    J: jnp.ndarray
 
 
-def _combine_filter(e1: _FilterElement, e2: _FilterElement) -> _FilterElement:
-    """Associative combination of filtering elements; e1 precedes e2 in time."""
+def _combine_filter_aos(e1: _FilterElementAoS, e2: _FilterElementAoS) -> _FilterElementAoS:
+    """AoS twin of :func:`_combine_filter` (same math on (T, D, D) tensors)."""
     dim = e1.A.shape[-1]
     eye = jnp.eye(dim, dtype=e1.A.dtype)
 
@@ -64,12 +198,25 @@ def _combine_filter(e1: _FilterElement, e2: _FilterElement) -> _FilterElement:
     A, b, C, eta, J = vmap(one)(
         e1.A, e1.b, e1.C, e1.eta, e1.J, e2.A, e2.b, e2.C, e2.eta, e2.J
     )
+    return _FilterElementAoS(A, b, C, eta, J)
+
+
+def _combine_filter(e1: _FilterElement, e2: _FilterElement) -> _FilterElement:
+    """Associative combination of filtering elements; e1 precedes e2 in time."""
+    Z = _pinv(_peye_plus(_pmatmul(e1.C, e2.J)))
+    Zt = _pt(Z)  # = inv(I + J2 C1) for symmetric C1, J2
+    A2Z = _pmatmul(e2.A, Z)
+    A = _pmatmul(A2Z, e1.A)
+    b = _pvadd(_pmatvec(A2Z, _pvadd(e1.b, _pmatvec(e1.C, e2.eta))), e2.b)
+    C = _padd(_pmatmul(_pmatmul(A2Z, e1.C), _pt(e2.A)), e2.C)
+    A1tZt = _pmatmul(_pt(e1.A), Zt)
+    eta = _pvadd(_pmatvec(A1tZt, _pvsub(e2.eta, _pmatvec(e2.J, e1.b))), e1.eta)
+    J = _padd(_pmatmul(_pmatmul(A1tZt, e2.J), e1.A), e1.J)
     return _FilterElement(A, b, C, eta, J)
 
 
-def _make_filter_elements(ys, m0, S0, A, Q, C, r) -> _FilterElement:
-    """Build per-step filtering elements (vectorized over T)."""
-    T, obs = ys.shape
+def _make_filter_elements(ys, m0, S0, A, Q, C, r) -> _FilterElementAoS:
+    """Build per-step filtering elements (vectorized over T, AoS layout)."""
     dim = m0.shape[0]
     eye = jnp.eye(dim, dtype=ys.dtype)
 
@@ -93,18 +240,15 @@ def _make_filter_elements(ys, m0, S0, A, Q, C, r) -> _FilterElement:
     # first element: update the prior (m0, S0) with y_0, no transition
     S_0 = C @ S0 @ C.T + jnp.diag(r[0])
     K_0 = psd_solve(S_0, C @ S0).T
-    A_first = jnp.zeros((dim, dim), dtype=ys.dtype)
     b_first = m0 + K_0 @ (ys[0] - C @ m0)
     C_first = (eye - K_0 @ C) @ S0
-    zeros_d = jnp.zeros((dim,), dtype=ys.dtype)
-    zeros_dd = jnp.zeros((dim, dim), dtype=ys.dtype)
 
-    A_all = A_all.at[0].set(A_first)
+    A_all = A_all.at[0].set(jnp.zeros((dim, dim), dtype=ys.dtype))
     b_all = b_all.at[0].set(b_first)
     C_all = C_all.at[0].set(C_first)
-    eta_all = eta_all.at[0].set(zeros_d)
-    J_all = J_all.at[0].set(zeros_dd)
-    return _FilterElement(A_all, b_all, C_all, eta_all, J_all)
+    eta_all = eta_all.at[0].set(jnp.zeros((dim,), dtype=ys.dtype))
+    J_all = J_all.at[0].set(jnp.zeros((dim, dim), dtype=ys.dtype))
+    return _FilterElementAoS(A_all, b_all, C_all, eta_all, J_all)
 
 
 @highest_precision
@@ -122,9 +266,21 @@ def kalman_filter_parallel(
     r = _as_time_varying(r_diag, T)
 
     elems = _make_filter_elements(ys, m0, S0, A, Q, C, r)
-    prefix = lax.associative_scan(_combine_filter, elems)
-    ms = prefix.b  # (T, D)
-    Ps = prefix.C  # (T, D, D)
+    if _use_soa():
+        soa = _FilterElement(
+            _to_planes(elems.A),
+            _vec_to_planes(elems.b),
+            _to_planes(elems.C),
+            _vec_to_planes(elems.eta),
+            _to_planes(elems.J),
+        )
+        prefix = lax.associative_scan(_combine_filter, soa)
+        ms = _planes_to_vec(prefix.b)  # (T, D)
+        Ps = _planes_to_mat(prefix.C)  # (T, D, D)
+    else:
+        prefix = lax.associative_scan(_combine_filter_aos, elems)
+        ms = prefix.b
+        Ps = prefix.C
 
     # predictive moments: t=0 uses the prior, t>=1 predicts from t-1 filtered
     m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
@@ -143,9 +299,29 @@ def kalman_filter_parallel(
 
 
 class _SmootherElement(NamedTuple):
+    E: tuple  # planes (D, D) of (T,)
+    g: tuple  # planes (D,) of (T,)
+    L: tuple
+
+
+class _SmootherElementAoS(NamedTuple):
     E: jnp.ndarray  # (T, D, D)
     g: jnp.ndarray  # (T, D)
-    L: jnp.ndarray  # (T, D, D)
+    L: jnp.ndarray
+
+
+def _combine_smoother_aos(
+    later: _SmootherElementAoS, earlier: _SmootherElementAoS
+) -> _SmootherElementAoS:
+    """AoS twin of :func:`_combine_smoother` (reverse-scan argument order)."""
+
+    def one(El, gl, Ll, Ee, ge, Le):
+        return Ee @ El, Ee @ gl + ge, Ee @ Ll @ Ee.T + Le
+
+    E, g, L = vmap(one)(
+        later.E, later.g, later.L, earlier.E, earlier.g, earlier.L
+    )
+    return _SmootherElementAoS(E, g, L)
 
 
 def _combine_smoother(later: _SmootherElement, earlier: _SmootherElement) -> _SmootherElement:
@@ -156,13 +332,9 @@ def _combine_smoother(later: _SmootherElement, earlier: _SmootherElement) -> _Sm
     time. The composition applies the earlier element's affine map to the
     later suffix: ``x -> E_e x + g_e``.
     """
-
-    def one(El, gl, Ll, Ee, ge, Le):
-        return Ee @ El, Ee @ gl + ge, Ee @ Ll @ Ee.T + Le
-
-    E, g, L = vmap(one)(
-        later.E, later.g, later.L, earlier.E, earlier.g, earlier.L
-    )
+    E = _pmatmul(earlier.E, later.E)
+    g = _pvadd(_pmatvec(earlier.E, later.g), earlier.g)
+    L = _padd(_pmatmul(_pmatmul(earlier.E, later.L), _pt(earlier.E)), earlier.L)
     return _SmootherElement(E, g, L)
 
 
@@ -194,7 +366,20 @@ def kalman_smoother_parallel(
     g_all = g_all.at[-1].set(ms[-1])
     L_all = L_all.at[-1].set(Ps[-1])
 
-    suffix = lax.associative_scan(
-        _combine_smoother, _SmootherElement(E_all, g_all, L_all), reverse=True
-    )
-    return SmootherResult(fr.log_likelihood, ms, Ps, suffix.g, suffix.L)
+    if _use_soa():
+        suffix = lax.associative_scan(
+            _combine_smoother,
+            _SmootherElement(
+                _to_planes(E_all), _vec_to_planes(g_all), _to_planes(L_all)
+            ),
+            reverse=True,
+        )
+        sm, sP = _planes_to_vec(suffix.g), _planes_to_mat(suffix.L)
+    else:
+        suffix = lax.associative_scan(
+            _combine_smoother_aos,
+            _SmootherElementAoS(E_all, g_all, L_all),
+            reverse=True,
+        )
+        sm, sP = suffix.g, suffix.L
+    return SmootherResult(fr.log_likelihood, ms, Ps, sm, sP)
