@@ -1,0 +1,110 @@
+"""Native (C++) runtime components with pure-Python fallbacks.
+
+Currently: a fast DLC-CSV reader (fast_csv.cpp) bound via ctypes. The shared
+library is built on demand with g++ and cached next to the source; every
+consumer must tolerate the loader being unavailable (no compiler, build
+failure) and fall back to pandas — the numeric results are identical, only
+the wall-clock differs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["load_dlc_csv_fast", "native_available"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fast_csv.cpp")
+_LIB = os.path.join(_DIR, "_fast_csv.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:  # no compiler / sandboxed build env
+        logger.debug(f"native csv loader build failed: {e}")
+        return False
+
+
+def _get_lib() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            stale = (not os.path.exists(_LIB)) or (
+                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+            )
+            if stale and not _build():
+                return None
+            lib = ctypes.CDLL(_LIB)
+            lib.dlc_csv_open.restype = ctypes.c_void_p
+            lib.dlc_csv_open.argtypes = [ctypes.c_char_p]
+            lib.dlc_csv_rows.restype = ctypes.c_int64
+            lib.dlc_csv_rows.argtypes = [ctypes.c_void_p]
+            lib.dlc_csv_cols.restype = ctypes.c_int64
+            lib.dlc_csv_cols.argtypes = [ctypes.c_void_p]
+            lib.dlc_csv_header.restype = ctypes.c_char_p
+            lib.dlc_csv_header.argtypes = [ctypes.c_void_p, ctypes.c_int]
+            lib.dlc_csv_data.restype = ctypes.POINTER(ctypes.c_double)
+            lib.dlc_csv_data.argtypes = [ctypes.c_void_p]
+            lib.dlc_csv_close.restype = None
+            lib.dlc_csv_close.argtypes = [ctypes.c_void_p]
+            _lib = lib
+        except Exception as e:  # pragma: no cover
+            logger.debug(f"native csv loader unavailable: {e}")
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+def load_dlc_csv_fast(path: str):
+    """Parse a 3-row-header DLC CSV natively.
+
+    Returns:
+        (data (T, n_cols) float64 array, headers: list of 3 lists of cell
+        strings INCLUDING the index column) or None if the native loader is
+        unavailable or the file does not parse.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    handle = lib.dlc_csv_open(os.fsencode(path))
+    if not handle:
+        return None
+    try:
+        rows = lib.dlc_csv_rows(handle)
+        cols = lib.dlc_csv_cols(handle)
+        headers = [
+            lib.dlc_csv_header(handle, i).decode("utf-8").split("\x1f")
+            for i in range(3)
+        ]
+        buf = np.ctypeslib.as_array(
+            lib.dlc_csv_data(handle), shape=(int(rows), int(cols))
+        )
+        data = np.array(buf, dtype=np.float64)  # copy out before close
+    finally:
+        lib.dlc_csv_close(handle)
+    return data, headers

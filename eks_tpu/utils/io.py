@@ -112,6 +112,40 @@ def get_keypoint_names(df: pd.DataFrame) -> list:
     return kps.tolist()
 
 
+def _load_one_native(file_path: str) -> tuple[pd.DataFrame, list] | None:
+    """Load a DLC CSV through the native C++ parser (eks_tpu.native).
+
+    Produces the exact flat-column DataFrame `convert_lp_dlc` builds from the
+    pandas path; returns None when the native loader is unavailable so the
+    caller falls back."""
+    try:
+        from eks_tpu.native import load_dlc_csv_fast
+    except Exception:  # pragma: no cover
+        return None
+    parsed = load_dlc_csv_fast(file_path)
+    if parsed is None:
+        return None
+    data, headers = parsed
+    scorers, bodyparts, coords = (h[1:] for h in headers)  # drop index cells
+    if len(bodyparts) != data.shape[1] or len(coords) != data.shape[1]:
+        return None
+    keypoint_names = [bp for bp, c in zip(bodyparts, coords) if c == "x"]
+    model_name = scorers[0] if scorers else ""
+    col_index: dict[tuple, int] = {}
+    for i, key in enumerate(zip(scorers, bodyparts, coords)):
+        col_index.setdefault(key, i)
+    out = {}
+    for kp in keypoint_names:
+        for coord in ["x", "y", "likelihood"]:
+            key = (model_name, kp, coord)
+            if any(level.startswith("Unnamed") for level in key):
+                continue
+            idx = col_index.get(key)
+            if idx is not None:
+                out[f"{kp}_{coord}"] = data[:, idx]
+    return pd.DataFrame(out), keypoint_names
+
+
 def _load_one(file_path: str) -> tuple[pd.DataFrame, list] | None:
     """Load one prediction file; None for unsupported extensions."""
     if file_path.endswith(".slp"):
@@ -120,6 +154,10 @@ def _load_one(file_path: str) -> tuple[pd.DataFrame, list] | None:
         )
         return df, keypoint_names
     if file_path.endswith(".csv"):
+        if os.environ.get("EKS_TPU_NATIVE_CSV", "1") != "0":
+            loaded = _load_one_native(file_path)
+            if loaded is not None:
+                return loaded
         raw = pd.read_csv(file_path, header=[0, 1, 2], index_col=0)
         keypoint_names = get_keypoint_names(raw)
         return convert_lp_dlc(raw, keypoint_names), keypoint_names
