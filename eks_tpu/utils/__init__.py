@@ -6,6 +6,7 @@ from eks_tpu.utils.frames import (
     crop_frames,
     crop_R,
 )
+from eks_tpu.utils.profiling import cost_summary, device_trace, stage_timer
 from eks_tpu.utils.io import (
     convert_lp_dlc,
     convert_slp_dlc,
@@ -24,4 +25,7 @@ __all__ = [
     "format_data",
     "get_keypoint_names",
     "make_dlc_pandas_index",
+    "cost_summary",
+    "device_trace",
+    "stage_timer",
 ]
