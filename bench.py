@@ -63,7 +63,7 @@ def run_pipeline(marker_arr, sequential: bool, safety_cap: int = SAFETY_CAP):
 
     s_guess = np.full(K, 2.0)
     s_finals = optimize_smooth_param(
-        ys=jnp.asarray(ys), m0s=m0s, S0s=S0s, As=As, Cs=Cs, Qs=Qs,
+        ys=ys, m0s=m0s, S0s=S0s, As=As, Cs=Cs, Qs=Qs,
         ensemble_vars=ens_vars, blocks=None, s_frames=None,
         s_guess_per_k=s_guess, safety_cap=safety_cap, sequential=sequential,
     )

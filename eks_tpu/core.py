@@ -264,18 +264,31 @@ def optimize_smooth_param(
         blocks = [[k] for k in range(K)]
     logger.debug(f"correlated keypoint blocks: {blocks}")
 
-    ys_np = np.asarray(ys)
-    # per-step variances with the R floor applied (eks/utils.py:373)
+    # per-step variances with the R floor applied (eks/utils.py:373);
+    # ensemble_vars always arrives host-side
     vars_np = np.clip(np.swapaxes(np.asarray(ensemble_vars), 0, 1), 1e-12, None)
 
-    y_cropped, r_const = [], []
-    for k in range(K):
-        y_k = crop_frames(ys_np[k], s_frames) if s_frames else ys_np[k]
-        v_k = crop_frames(vars_np[k], s_frames) if s_frames else vars_np[k]
-        y_cropped.append(y_k)
-        r_const.append(_constant_r_from_vars(v_k, min_var=min_R_var))
-    y_cropped = np.stack(y_cropped)  # (K, T', O)
-    r_const = np.stack(r_const)  # (K, O)
+    if s_frames:
+        # host-side cropping path. IMPORTANT: pass ys as a HOST array when
+        # using s_frames — device->host pulls over a remote-attached TPU are
+        # catastrophically slow (minutes-scale stalls observed).
+        ys_np = np.asarray(ys)
+        y_cropped, r_const = [], []
+        for k in range(K):
+            y_cropped.append(crop_frames(ys_np[k], s_frames))
+            r_const.append(
+                _constant_r_from_vars(
+                    crop_frames(vars_np[k], s_frames), min_var=min_R_var
+                )
+            )
+        y_cropped = np.stack(y_cropped)  # (K, T', O)
+        r_const = np.stack(r_const)  # (K, O)
+    else:
+        # no cropping: never touch ys on the host (it may be device-resident)
+        y_cropped = ys
+        r_const = np.clip(
+            np.nanmedian(vars_np, axis=1), min_R_var, np.inf
+        )  # (K, O)
 
     # pad blocks to a rectangle; padding lanes reuse member 0 with zero mask
     b_max = max(len(b) for b in blocks)
@@ -290,7 +303,12 @@ def optimize_smooth_param(
         s0 = float(np.mean([s_guess_per_k[k] for k in b]))
         s_log_init[i] = np.log(np.clip(s0, 1e-6, 1e3))
 
-    gather = lambda a: jnp.asarray(np.asarray(a)[idx])
+    # gather block members; device arrays are gathered on device (no pull)
+    def gather(a):
+        if isinstance(a, jnp.ndarray):
+            return a[jnp.asarray(idx)]
+        return jnp.asarray(np.asarray(a)[idx])
+
     s_lo, s_hi = s_bounds_log
     s_log_f, last_loss, iters = _optimize_blocks(
         gather(y_cropped),

@@ -192,7 +192,7 @@ def ensemble_kalman_smoother_ibl_pupil(
     y_obs[:, 1::2] -= mean_y_obs
 
     s_finals, ms, Vs = run_pupil_kalman_smoother(
-        ys=jnp.asarray(y_obs),
+        ys=y_obs,  # host array: cropping happens host-side, upload once
         m0=jnp.asarray(m0),
         S0=jnp.asarray(S0),
         C=jnp.asarray(PUPIL_C),

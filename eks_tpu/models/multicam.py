@@ -326,7 +326,7 @@ def ensemble_kalman_smoother_multicam(
     # smoother
     _t0 = time.perf_counter()
     s_finals, ms, Vs = run_kalman_smoother(
-        ys=jnp.asarray(ys),
+        ys=ys,  # host array: core crops host-side and uploads once
         m0s=m0s, S0s=S0s, As=As, Qs=Qs, Cs=Cs,
         ensemble_vars=np.swapaxes(ensemble_vars, 0, 1),  # (T, K, 2C)
         s_frames=s_frames,

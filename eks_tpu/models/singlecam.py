@@ -130,7 +130,7 @@ def ensemble_kalman_smoother_singlecam(
     m0s, S0s, As, Qs, Cs = initialize_kalman_filter(emA_centered)
 
     s_finals, ms, Vs = run_kalman_smoother(
-        ys=jnp.asarray(ys),
+        ys=ys,  # host array: core crops host-side and uploads once
         m0s=m0s,
         S0s=S0s,
         As=As,
