@@ -1,0 +1,107 @@
+"""End-to-end golden parity for all five smoother families.
+
+Two variants per family where the reference does the same
+(tests/integration there): auto-tuned s and fixed s. Auto-tuned runs pin the
+optimizer trajectory as well as the smoother numerics.
+"""
+
+import os
+
+import pytest
+
+from tests.integration.conftest import DATA
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATA), reason="bundled example data missing"
+)
+
+
+def test_singlecam_fixed_s(tmp_path, golden):
+    from eks_tpu import fit_eks_singlecam
+
+    df, _, _, _ = fit_eks_singlecam(
+        input_source=f"{DATA}/singlecam",
+        save_file=str(tmp_path / "o.csv"),
+        smooth_param=2.0,
+    )
+    golden("singlecam_fixed", df)
+
+
+def test_singlecam_auto_s(tmp_path, golden):
+    from eks_tpu import fit_eks_singlecam
+
+    df, s, _, _ = fit_eks_singlecam(
+        input_source=f"{DATA}/singlecam",
+        save_file=str(tmp_path / "o.csv"),
+        s_frames=[(0, 250)],
+    )
+    golden("singlecam_auto", df)
+
+
+def test_mirrored_fixed_s(tmp_path, golden):
+    from eks_tpu import fit_eks_mirrored_multicam
+
+    df, _, _, _ = fit_eks_mirrored_multicam(
+        input_source=f"{DATA}/mirrored",
+        save_file=str(tmp_path / "o.csv"),
+        camera_names=["top", "bot"],
+        smooth_param=3.0,
+    )
+    golden("mirrored_fixed", df)
+
+
+def test_mirrored_auto_s_inflate(tmp_path, golden):
+    from eks_tpu import fit_eks_mirrored_multicam
+
+    df, _, _, _ = fit_eks_mirrored_multicam(
+        input_source=f"{DATA}/mirrored",
+        save_file=str(tmp_path / "o.csv"),
+        camera_names=["top", "bot"],
+        inflate_vars=True,
+    )
+    golden("mirrored_auto_inflate", df)
+
+
+def test_multicam_calibrated_auto_s(tmp_path, golden):
+    from eks_tpu import fit_eks_multicam
+
+    dfs, _, _, _, df3d = fit_eks_multicam(
+        input_source=f"{DATA}/multicam",
+        save_dir=str(tmp_path),
+        calibration=f"{DATA}/multicam/calibration.toml",
+    )
+    golden("multicam_cal_cam0", dfs[0])
+    golden("multicam_cal_3d", df3d)
+
+
+def test_pupil_auto_s(tmp_path, golden):
+    from eks_tpu import fit_eks_pupil
+
+    df, _, _, _ = fit_eks_pupil(
+        input_source=f"{DATA}/pupil",
+        save_file=str(tmp_path / "o.csv"),
+    )
+    golden("pupil_auto", df)
+
+
+def test_pupil_fixed_s(tmp_path, golden):
+    from eks_tpu import fit_eks_pupil
+
+    df, _, _, _ = fit_eks_pupil(
+        input_source=f"{DATA}/pupil",
+        save_file=str(tmp_path / "o.csv"),
+        smooth_params=[0.99, 0.98],
+    )
+    golden("pupil_fixed", df)
+
+
+def test_paw_auto_s(tmp_path, golden):
+    from eks_tpu import fit_eks_multicam_ibl_paw
+
+    dfs, _, _, _ = fit_eks_multicam_ibl_paw(
+        input_source=f"{DATA}/paw",
+        save_dir=str(tmp_path),
+        var_mode="var",
+    )
+    golden("paw_left", dfs[0])
+    golden("paw_right", dfs[1])
