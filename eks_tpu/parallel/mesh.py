@@ -25,7 +25,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from eks_tpu.core import _optimize_blocks, _smooth_all
 
-__all__ = ["make_mesh", "shard_leading", "optimize_and_smooth_sharded"]
+__all__ = [
+    "make_mesh",
+    "shard_leading",
+    "optimize_and_smooth_sharded",
+    "smooth_time_sharded",
+]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "kp") -> Mesh:
@@ -151,3 +156,52 @@ def optimize_and_smooth_sharded(
         np.asarray(ms)[:K],
         np.asarray(Vs)[:K],
     )
+
+
+def smooth_time_sharded(
+    ys: np.ndarray,  # (T, O)
+    m0: np.ndarray,
+    S0: np.ndarray,
+    A: np.ndarray,
+    Q: np.ndarray,
+    C: np.ndarray,
+    r_diag: np.ndarray,  # (T, O)
+    mesh: Mesh,
+    axis_name: str = "kp",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sequence-parallel smoothing: ONE keypoint's time axis sharded over the
+    mesh (SURVEY.md §2.3 — the context-parallelism analogue for this
+    workload, for sessions too long for a single chip's HBM or when
+    K < n_devices). The parallel-prefix combine maps onto XLA collectives
+    under the SPMD partitioner; results match the unsharded smoother.
+
+    Returns host arrays (log_likelihood, smoothed means (T, D), covs
+    (T, D, D)). T must be divisible by the mesh size.
+    """
+    from eks_tpu.ops.pkalman import kalman_smoother_parallel
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    T = ys.shape[0]
+    if T % n_dev != 0:
+        raise ValueError(f"T={T} must be divisible by the mesh size {n_dev}")
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    ys_s = jax.device_put(jnp.asarray(ys), sharding)
+    r_s = jax.device_put(jnp.asarray(np.clip(r_diag, 1e-12, None)), sharding)
+
+    res = _smooth_time_jit(
+        ys_s, jnp.asarray(m0), jnp.asarray(S0), jnp.asarray(A),
+        jnp.asarray(Q), jnp.asarray(C), r_s,
+    )
+    return (
+        np.asarray(res.log_likelihood),
+        np.asarray(res.smoothed_means),
+        np.asarray(res.smoothed_covs),
+    )
+
+
+@jax.jit
+def _smooth_time_jit(ys, m0, S0, A, Q, C, r):
+    from eks_tpu.ops.pkalman import kalman_smoother_parallel
+
+    return kalman_smoother_parallel(ys, m0, S0, A, Q, C, r)

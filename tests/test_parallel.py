@@ -51,3 +51,41 @@ def test_sharded_outputs_are_distributed(rng):
     s, ms, Vs = optimize_and_smooth_sharded(ys, m0s, S0s, As, Qs, Cs, ev, mesh=mesh)
     assert ms.shape == (8, 80, 2)
     assert np.isfinite(ms).all()
+
+
+def test_time_axis_sharded_smoother_matches(rng):
+    from eks_tpu.ops.kalman import kalman_smoother
+    from eks_tpu.parallel.mesh import smooth_time_sharded
+
+    T = 512
+    ys = (rng.normal(size=(T, 2)).cumsum(0) * 0.1).astype(np.float32)
+    r = rng.uniform(0.1, 1.0, (T, 2)).astype(np.float32)
+    m0 = np.zeros(2, np.float32)
+    S0 = np.eye(2, dtype=np.float32)
+    A = (0.95 * np.eye(2)).astype(np.float32)
+    Q = (0.3 * np.eye(2)).astype(np.float32)
+    C = np.eye(2, dtype=np.float32)
+
+    mesh = make_mesh(8)
+    ll, sm, sP = smooth_time_sharded(ys, m0, S0, A, Q, C, r, mesh=mesh)
+
+    ref = kalman_smoother(
+        jnp.asarray(ys), jnp.asarray(m0), jnp.asarray(S0), jnp.asarray(A),
+        jnp.asarray(Q), C=jnp.asarray(C), r_diag=jnp.asarray(r),
+    )
+    np.testing.assert_allclose(float(ll), float(ref.log_likelihood), rtol=1e-4)
+    np.testing.assert_allclose(sm, np.asarray(ref.smoothed_means), atol=2e-3)
+    np.testing.assert_allclose(sP, np.asarray(ref.smoothed_covs), atol=2e-3)
+
+
+def test_time_axis_sharding_requires_divisible_T(rng):
+    from eks_tpu.parallel.mesh import smooth_time_sharded
+
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="divisible"):
+        smooth_time_sharded(
+            np.zeros((100, 2), np.float32), np.zeros(2, np.float32),
+            np.eye(2, dtype=np.float32), np.eye(2, dtype=np.float32),
+            np.eye(2, dtype=np.float32), np.eye(2, dtype=np.float32),
+            np.ones((100, 2), np.float32), mesh=mesh,
+        )
