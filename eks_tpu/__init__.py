@@ -19,7 +19,18 @@ __all__ = [
     "fit_eks_multicam_ibl_paw",
 ]
 
-__version__ = "0.1.0"
+def _resolve_version() -> str:
+    """Installed-distribution version with a static fallback for source
+    checkouts (reference behavior: eks/__init__.py:28-60)."""
+    try:
+        import importlib.metadata
+
+        return importlib.metadata.version("eks-tpu")
+    except Exception:
+        return "0.1.0"
+
+
+__version__ = _resolve_version()
 
 
 def __getattr__(name: str) -> Any:

@@ -395,18 +395,15 @@ def run_pupil_kalman_smoother(
         jnp.asarray(s_d), jnp.asarray(s_c), diameters_var, x_var, y_var
     )
     r = jnp.asarray(np.clip(np.asarray(ensemble_vars), 1e-12, None))
+    ys_j = jnp.asarray(ys)
     if sequential:
-        res = kalman_smoother_seq_wrapper(ys, m0, S0, A, Q, C, r)
+        from eks_tpu.ops.kalman import kalman_smoother
+
+        res = kalman_smoother(ys_j, m0, S0, A, Q, C=C, r_diag=r)
     else:
-        res = kalman_smoother_parallel(ys, m0, S0, A, Q, C, r)
+        res = kalman_smoother_parallel(ys_j, m0, S0, A, Q, C, r)
     return (
         [float(s_d), float(s_c)],
         np.asarray(res.smoothed_means),
         np.asarray(res.smoothed_covs),
     )
-
-
-def kalman_smoother_seq_wrapper(ys, m0, S0, A, Q, C, r):
-    from eks_tpu.ops.kalman import kalman_smoother
-
-    return kalman_smoother(ys, m0, S0, A, Q, C=C, r_diag=r)
