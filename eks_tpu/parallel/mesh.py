@@ -68,9 +68,20 @@ def _pad_leading(x: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
 
 
 def shard_leading(mesh: Mesh, x, axis_name: str = "kp"):
-    """Device-put an array sharded on its leading axis (must be padded)."""
+    """Device-put an array sharded on its leading axis (must be padded).
+
+    The host array goes straight to the mesh's devices: converting through
+    ``jnp.asarray`` first would commit it to the *default* backend (possibly
+    a different platform than the mesh) before re-sharding.
+    """
     sharding = NamedSharding(mesh, P(axis_name))
-    return jax.device_put(jnp.asarray(x), sharding)
+    return jax.device_put(np.asarray(x), sharding)
+
+
+def _replicate(mesh: Mesh, x):
+    """Device-put a host array replicated over the mesh (never touches the
+    default backend)."""
+    return jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
 
 
 def optimize_and_smooth_sharded(
@@ -186,12 +197,12 @@ def smooth_time_sharded(
         raise ValueError(f"T={T} must be divisible by the mesh size {n_dev}")
 
     sharding = NamedSharding(mesh, P(axis_name))
-    ys_s = jax.device_put(jnp.asarray(ys), sharding)
-    r_s = jax.device_put(jnp.asarray(np.clip(r_diag, 1e-12, None)), sharding)
+    ys_s = jax.device_put(np.asarray(ys), sharding)
+    r_s = jax.device_put(np.clip(np.asarray(r_diag), 1e-12, None), sharding)
 
     res = _smooth_time_jit(
-        ys_s, jnp.asarray(m0), jnp.asarray(S0), jnp.asarray(A),
-        jnp.asarray(Q), jnp.asarray(C), r_s,
+        ys_s, _replicate(mesh, m0), _replicate(mesh, S0), _replicate(mesh, A),
+        _replicate(mesh, Q), _replicate(mesh, C), r_s,
     )
     return (
         np.asarray(res.log_likelihood),
