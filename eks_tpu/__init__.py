@@ -58,4 +58,4 @@ def __getattr__(name: str) -> Any:
         return fit_eks_multicam_ibl_paw
     if name == "version":
         return __version__
-    raise AttributeError(f"No attribute {name} in module {__name__}.")
+    raise AttributeError(f"module {__name__} has no attribute {name}")

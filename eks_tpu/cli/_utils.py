@@ -1,7 +1,9 @@
 """Shared CLI helpers: IO validation, argument builders, parsers, plotting.
 
-Flag semantics mirror the reference CLI (eks/cli/_utils.py) including the
-bare-integer ``--s-frames`` shorthand: ``'100'`` parses to ``[(1, 100)]``.
+Flag names/types/defaults match the reference CLI surface (eks/cli/_utils.py)
+so scripts written against it keep working, including the bare-integer
+``--s-frames`` shorthand: ``'100'`` parses to ``[(1, 100)]``. Implementations
+and user-facing text are this project's own.
 """
 
 from __future__ import annotations
@@ -17,206 +19,208 @@ import pandas as pd
 
 logger = logging.getLogger(__name__)
 
+_SPAN_RE = re.compile(r"\(([0-9]*),([0-9]*)\)")
+
 
 def handle_io(input_dir, save_dir) -> Path:
-    """Validate the input directory; default save dir is ``./outputs``."""
+    """Check the input directory exists and resolve the output directory
+    (``./outputs`` is created and used when none is given)."""
     if not Path(input_dir).is_dir():
-        raise ValueError("--input-dir must be a valid directory containing prediction files")
+        raise ValueError(
+            f"--input-dir points at {input_dir!r}, which is not a directory"
+        )
     if save_dir is None:
-        save_dir = Path.cwd() / "outputs"
-        save_dir.mkdir(parents=True, exist_ok=True)
+        out = Path.cwd() / "outputs"
+        out.mkdir(parents=True, exist_ok=True)
+        return out
     return Path(save_dir)
 
 
-def parse_s_frames(input_string: str) -> list[tuple[int | None, int | None]]:
-    """Parse '--s-frames' strings like '[(0,100),(200,300)]'; a bare integer
-    N means [(1, N)]; empty ends are open."""
-    try:
-        if input_string.isdigit():
-            return [(1, int(input_string))]
-        cleaned = re.sub(r"\s+", "", input_string)
-        matches = re.compile(r"\((\d*),(\d*)\)").findall(cleaned)
-        if not matches:
-            raise ValueError("no valid tuples found")
-        tuples = []
-        for start, end in matches:
-            start = int(start) if start else None
-            end = int(end) if end else None
-            if start is not None and end is not None and start > end:
-                raise ValueError("start index cannot be greater than end index")
-            tuples.append((start, end))
-        return tuples
-    except Exception as e:
-        raise argparse.ArgumentTypeError(f"invalid format for --s-frames: {e}") from e
+def parse_s_frames(text: str) -> list[tuple[int | None, int | None]]:
+    """Parse an ``--s-frames`` value.
 
-
-def parse_blocks(blocks_str: str) -> list[list[int]]:
-    """Parse '--blocks' strings like '0,1,2;3,4' into index groups."""
-    try:
-        return [list(map(int, block.split(","))) for block in blocks_str.split(";")]
-    except ValueError as e:
+    Accepts a bare integer N (meaning frames 1..N) or a list of
+    ``(start,end)`` pairs where either side may be left empty for an open
+    end, e.g. ``'[(0,100),(250,)]'``.
+    """
+    spec = text.strip()
+    if spec.isdigit():
+        return [(1, int(spec))]
+    pairs = _SPAN_RE.findall(re.sub(r"\s", "", spec))
+    if not pairs:
         raise argparse.ArgumentTypeError(
-            f"invalid format for --blocks: {blocks_str}. Error: {e}"
-        ) from e
+            f"--s-frames got {text!r}; give an integer N or windows like "
+            "'[(0,100),(250,)]'"
+        )
+    windows: list[tuple[int | None, int | None]] = []
+    for lo_str, hi_str in pairs:
+        lo = int(lo_str) if lo_str else None
+        hi = int(hi_str) if hi_str else None
+        if lo is not None and hi is not None and lo > hi:
+            raise argparse.ArgumentTypeError(
+                f"--s-frames window ({lo}, {hi}) runs backwards"
+            )
+        windows.append((lo, hi))
+    return windows
+
+
+def parse_blocks(text: str) -> list[list[int]]:
+    """Parse a ``--blocks`` value: ';'-separated groups of comma-separated
+    0-based keypoint indices, e.g. ``'0,1,2;3,4'``."""
+    groups: list[list[int]] = []
+    for chunk in text.split(";"):
+        try:
+            groups.append([int(tok) for tok in chunk.split(",")])
+        except ValueError as e:
+            raise argparse.ArgumentTypeError(
+                f"--blocks could not read group {chunk!r}; expected "
+                "comma-separated integers"
+            ) from e
+    return groups
 
 
 # --------------------------------------------------------------------------- #
-# argument builders
+# argument builders — one declarative spec per flag, wrapped into the
+# add_* functions the subcommand modules compose
 # --------------------------------------------------------------------------- #
-def add_common_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--input-dir", help="directory of model prediction csv files", type=str
-    )
-    parser.add_argument(
-        "--input-files",
-        help="list of model prediction csv files from various directories",
+def _builder(*flag_defs):
+    def add(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+        for flags, kwargs in flag_defs:
+            parser.add_argument(*flags, **kwargs)
+        return parser
+
+    return add
+
+
+add_common_args = _builder(
+    (("--input-dir",), dict(
+        type=str,
+        help="directory holding the ensemble's prediction CSV files",
+    )),
+    (("--input-files",), dict(
         nargs="+",
-    )
-    parser.add_argument(
-        "--save-dir",
-        help="save directory for outputs (default: ./outputs)",
-        default=None,
-        type=str,
-    )
-    parser.add_argument(
-        "--save-filename",
-        help="filename for outputs (default uses smoother type)",
-        default=None,
-        type=str,
-    )
-    parser.add_argument(
-        "--s-frames",
+        help="explicit prediction files (may live in different directories)",
+    )),
+    (("--save-dir",), dict(
+        type=str, default=None,
+        help="where to write results (defaults to ./outputs)",
+    )),
+    (("--save-filename",), dict(
+        type=str, default=None,
+        help="output filename; a default is derived from the smoother family",
+    )),
+    (("--s-frames",), dict(
+        type=parse_s_frames, default=None,
         help=(
-            "frames considered for smoothing parameter optimization; moot if --s is "
-            'specified. format: "[(start_int,end_int),(start_int,end_int),...]". '
-            "(None,end_int) starts from first frame; (start_int,None) proceeds to "
-            "last frame."
+            "frame window(s) the smoothing-parameter search runs on: a bare "
+            "integer N for frames 1..N, or windows like '[(0,500),(1000,)]' "
+            "with open ends allowed; has no effect when --s fixes the "
+            "parameter"
         ),
-        default=None,
-        type=parse_s_frames,
-    )
-    parser.add_argument(
-        "--blocks",
+    )),
+    (("--blocks",), dict(
+        type=parse_blocks, default=[],
         help=(
-            "keypoints grouped for correlated noise, yielding one smoothing param "
-            'per block rather than per keypoint. format: "x1,x2,x3;y1,y2" '
-            "(keypoint indices from 0)"
+            "';'-separated groups of 0-based keypoint indices that share one "
+            "smoothing parameter, e.g. '0,1,2;3,4'; default is one parameter "
+            "per keypoint"
         ),
-        default=[],
-        type=parse_blocks,
-    )
-    parser.add_argument(
-        "--verbose",
-        help="display smoothing parameter optimization iterations",
+    )),
+    (("--verbose",), dict(
         action="store_true",
-    )
-    parser.add_argument(
-        "--make-plot",
-        help="generate and save diagnostic plots after smoothing",
+        help="log optimizer iterations and per-stage timings",
+    )),
+    (("--make-plot",), dict(
         action="store_true",
-    )
-    return parser
+        help="write per-keypoint diagnostic PDFs next to the results",
+    )),
+)
 
-
-def add_bodyparts(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--bodypart-list",
+add_bodyparts = _builder(
+    (("--bodypart-list",), dict(
         nargs="+",
-        help="body parts to ensemble and smooth; uses all if not specified",
-    )
-    return parser
+        help="subset of bodyparts to process (default: every bodypart found)",
+    )),
+)
 
-
-def add_s(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--s",
+add_s = _builder(
+    (("--s",), dict(
+        nargs="+", type=float,
         help=(
-            "smoothing parameter; overrides auto-tuning when specified. "
-            "multiple values assign one per bodypart in order"
+            "fix the smoothing parameter instead of auto-tuning; give one "
+            "value for all bodyparts, or one value per bodypart"
         ),
-        nargs="+",
-        type=float,
-    )
-    return parser
+    )),
+)
 
-
-def add_camera_names(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--camera-names",
-        required=False,
-        nargs="+",
+add_camera_names = _builder(
+    (("--camera-names",), dict(
+        required=False, nargs="+",
         help=(
-            "camera names corresponding to input files; each name must appear as a "
-            "substring of the matching filenames. required for multicam without "
-            "--calibration and for mirrored-multicam; ignored when --calibration "
-            "is provided"
+            "one name per camera view; prediction files are assigned to "
+            "cameras by filename substring. needed for multicam without "
+            "--calibration and for mirrored-multicam; the calibration "
+            "file's own names take precedence when --calibration is given"
         ),
-    )
-    return parser
+    )),
+)
 
+add_quantile_keep_pca = _builder(
+    (("--quantile-keep-pca",), dict(
+        type=float, default=95,
+        help=(
+            "keep this percentage of frames (lowest ensemble variance) "
+            "when fitting the multi-view PCA"
+        ),
+    )),
+)
 
-def add_quantile_keep_pca(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--quantile-keep-pca",
-        help="percentage of points kept for multi-view PCA (lowest ensemble variance)",
-        default=95,
+add_inflate_vars = _builder(
+    (("--no-inflate-vars",), dict(
+        dest="inflate_vars", action="store_false", default=True,
+        help="turn off the Mahalanobis-gated variance inflation pass",
+    )),
+)
+
+add_n_latent = _builder(
+    (("--n-latent",), dict(
+        type=int, default=3,
+        help="latent dimensionality of the multi-view PCA state",
+    )),
+)
+
+add_calibration = _builder(
+    (("--calibration",), dict(
+        type=str, default=None,
+        help="Anipose-style calibration TOML enabling the 3D multicam path",
+    )),
+)
+
+add_diameter_s = _builder(
+    (("--diameter-s",), dict(
         type=float,
-    )
-    return parser
+        help="pupil-diameter AR(1) coefficient in (0, 1); larger = smoother",
+    )),
+)
 
-
-def add_inflate_vars(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--no-inflate-vars",
-        dest="inflate_vars",
-        action="store_false",
-        default=True,
-        help="disable Mahalanobis distance-based variance inflation (enabled by default)",
-    )
-    return parser
-
-
-def add_n_latent(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--n-latent",
-        help="number of latent PCA dimensions to retain",
-        default=3,
-        type=int,
-    )
-    return parser
-
-
-def add_calibration(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--calibration",
-        help="path to calibration.toml file",
-        default=None,
-        type=str,
-    )
-    return parser
-
-
-def add_diameter_s(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--diameter-s",
-        help="smoothing parameter for pupil diameter (closer to 1 = more smoothing)",
+add_com_s = _builder(
+    (("--com-s",), dict(
         type=float,
-    )
-    return parser
-
-
-def add_com_s(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
-    parser.add_argument(
-        "--com-s",
-        help="smoothing parameter for pupil center of mass (closer to 1 = more smoothing)",
-        type=float,
-    )
-    return parser
+        help="pupil center-of-mass AR(1) coefficient in (0, 1); larger = smoother",
+    )),
+)
 
 
 # --------------------------------------------------------------------------- #
 # diagnostics plotting
 # --------------------------------------------------------------------------- #
+_GREY = (0.5, 0.5, 0.5)
+
+
+def _eks_trace(output_df: pd.DataFrame, key: str, coord: str, window):
+    return output_df.loc[window, ("ensemble-kalman_tracker", key, coord)]
+
+
 def plot_results(
     output_df: pd.DataFrame,
     input_dfs_list: list[pd.DataFrame],
@@ -228,56 +232,48 @@ def plot_results(
     smoother_type: str,
     coords: list[str] = ["x", "y", "likelihood"],
 ) -> None:
-    """Plot individual-model traces vs the EKS output for one keypoint and
-    save ``{smoother_type}_{key}.pdf`` in ``save_dir``."""
+    """One stacked panel per coordinate: grey traces for each ensemble member,
+    black for the EKS output. Saves ``{smoother_type}_{key}.pdf``."""
     import matplotlib.pyplot as plt
 
+    window = slice(*idxs)
     fig, axes = plt.subplots(len(coords), 1, figsize=(9, 10))
 
     for ax, coord in zip(axes, coords, strict=True):
-        if coord == "likelihood":
-            ylabel = "model likelihoods"
-        elif coord == "zscore":
-            ylabel = "EKS disagreement"
-        else:
-            ylabel = coord
-        ax.set_ylabel(ylabel, fontsize=12)
         if coord == "zscore":
-            ax.plot(
-                output_df.loc[slice(*idxs), ("ensemble-kalman_tracker", key, coord)],
-                color="k",
-                linewidth=2,
-            )
+            # disagreement panel: EKS-only, no member traces exist for it
+            ax.plot(_eks_trace(output_df, key, coord, window), color="k", linewidth=2)
+            ax.set_ylabel("ensemble disagreement (z)", fontsize=12)
             ax.set_xlabel("Time (frames)", fontsize=12)
             continue
-        for m, markers in enumerate(input_dfs_list):
+        for m, member_df in enumerate(input_dfs_list):
             ax.plot(
-                markers.loc[slice(*idxs), key + f"_{coord}"],
-                color=[0.5, 0.5, 0.5],
-                label="Individual models" if m == 0 else None,
+                member_df.loc[window, f"{key}_{coord}"],
+                color=_GREY,
+                label="ensemble members" if m == 0 else None,
             )
         if coord == "likelihood":
+            ax.set_ylabel("member likelihoods", fontsize=12)
             continue
         ax.plot(
-            output_df.loc[slice(*idxs), ("ensemble-kalman_tracker", key, coord)],
-            color="k",
-            linewidth=2,
-            label="EKS",
+            _eks_trace(output_df, key, coord, window),
+            color="k", linewidth=2, label="EKS",
         )
+        ax.set_ylabel(coord, fontsize=12)
         if coord == "x":
             ax.legend()
-        if nll_values is not None:
-            subset = nll_values[idxs[0]: idxs[1]]
-            axes[-1].plot(range(*idxs), subset, color="k", linewidth=2)
-            axes[-1].set_ylabel("EKS NLL", fontsize=12)
+
+    if nll_values is not None:
+        axes[-1].plot(range(*idxs), nll_values[window], color="k", linewidth=2)
+        axes[-1].set_ylabel("EKS NLL", fontsize=12)
 
     if isinstance(s_final, tuple):
-        s_str = f"({s_final[0]:.2f}, {s_final[1]:.2f})"
+        s_text = "(" + ", ".join(f"{v:.2f}" for v in s_final) + ")"
     else:
-        s_str = f"{s_final:.2f}"
-    plt.suptitle(f"EKS results for {key}, smoothing = {s_str}", fontsize=14)
-    plt.tight_layout()
-    save_file = os.path.join(save_dir, f"{smoother_type}_{key}.pdf")
-    plt.savefig(save_file)
-    plt.close()
-    logger.info(f"see example EKS output at {save_file}")
+        s_text = f"{s_final:.2f}"
+    fig.suptitle(f"EKS results for {key}, smoothing = {s_text}", fontsize=14)
+    fig.tight_layout()
+    pdf_path = os.path.join(save_dir, f"{smoother_type}_{key}.pdf")
+    fig.savefig(pdf_path)
+    plt.close(fig)
+    logger.info(f"diagnostic plot saved to {pdf_path}")

@@ -20,7 +20,7 @@ from eks_tpu.models.ibl_paw import fit_eks_multicam_ibl_paw
 def register(subparsers: argparse._SubParsersAction) -> None:
     parser = subparsers.add_parser(
         "ibl-paw",
-        help="run ensemble Kalman smoothing on IBL paw multi-view tracking data",
+        help="smooth an IBL two-camera paw ensemble with asynchronous timestamps",
     )
     add_common_args(parser)
     add_s(parser)

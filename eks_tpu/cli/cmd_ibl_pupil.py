@@ -18,7 +18,7 @@ from eks_tpu.models.ibl_pupil import fit_eks_pupil
 def register(subparsers: argparse._SubParsersAction) -> None:
     parser = subparsers.add_parser(
         "ibl-pupil",
-        help="run ensemble Kalman smoothing on IBL pupil tracking data",
+        help="smooth an IBL pupil-tracking ensemble (diameter + center-of-mass model)",
     )
     add_common_args(parser)
     add_diameter_s(parser)

@@ -22,7 +22,7 @@ from eks_tpu.models.multicam import fit_eks_mirrored_multicam
 def register(subparsers: argparse._SubParsersAction) -> None:
     parser = subparsers.add_parser(
         "mirrored-multicam",
-        help="run ensemble Kalman smoothing on mirrored multi-camera pose data",
+        help="smooth a mirrored-setup pose ensemble stored in one CSV per model",
     )
     add_common_args(parser)
     add_bodyparts(parser)

@@ -26,7 +26,7 @@ logger = logging.getLogger(__name__)
 def register(subparsers: argparse._SubParsersAction) -> None:
     parser = subparsers.add_parser(
         "multicam",
-        help="run ensemble Kalman smoothing on multi-camera pose data",
+        help="smooth a multi-camera pose ensemble (PCA-latent or calibrated 3D)",
     )
     add_common_args(parser)
     add_bodyparts(parser)
@@ -41,11 +41,11 @@ def register(subparsers: argparse._SubParsersAction) -> None:
 
 def cmd_multicam(args: argparse.Namespace) -> None:
     if args.calibration is None and args.camera_names is None:
-        raise ValueError("--camera-names is required when --calibration is not provided")
+        raise ValueError("pass --camera-names when running without --calibration")
     if args.calibration is not None and args.camera_names is not None:
         logger.warning(
-            "--camera-names is ignored when --calibration is provided; "
-            "camera names will be read from the calibration file"
+            "--calibration overrides --camera-names; "
+            "names are taken from the TOML"
         )
 
     input_source = args.input_dir if args.input_dir is not None else args.input_files

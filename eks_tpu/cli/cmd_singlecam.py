@@ -18,7 +18,7 @@ from eks_tpu.models.singlecam import fit_eks_singlecam
 def register(subparsers: argparse._SubParsersAction) -> None:
     parser = subparsers.add_parser(
         "singlecam",
-        help="run ensemble Kalman smoothing on single-camera pose data",
+        help="smooth a single-camera pose ensemble",
     )
     add_common_args(parser)
     add_bodyparts(parser)

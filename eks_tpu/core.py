@@ -129,7 +129,7 @@ def compute_initial_guesses(ensemble_vars: np.ndarray | list) -> float:
     (reference: eks/core.py:104-133)."""
     ev = np.asarray(ensemble_vars)[:2000]
     if ev.shape[0] < 2:
-        raise ValueError("Not enough frames to compute temporal differences.")
+        raise ValueError("Initial-s heuristic needs at least two frames of ensemble variance.")
     diffs = ev[1:] - ev[:-1]
     return float(round(np.nanstd(diffs), 5))
 
@@ -262,7 +262,7 @@ def optimize_smooth_param(
     K = ys.shape[0]
     if not blocks:
         blocks = [[k] for k in range(K)]
-    logger.debug(f"correlated keypoint blocks: {blocks}")
+    logger.debug(f"keypoint block structure for shared s: {blocks}")
 
     # per-step variances with the R floor applied (eks/utils.py:373);
     # ensemble_vars always arrives host-side
@@ -338,8 +338,8 @@ def optimize_smooth_param(
         for k in b:
             s_finals[k] = s_star
         logger.debug(
-            f"[opt s | block {list(b)}] s={s_star:.6g}, "
-            f"iters={int(iters[i])}, NLL={float(last_loss[i]):.6f}"
+            f"s-opt block {list(b)}: converged to s={s_star:.6g} "
+            f"after {int(iters[i])} iters (NLL {float(last_loss[i]):.6f})"
         )
     return s_finals
 
@@ -423,7 +423,7 @@ def run_kalman_smoother(
             sequential=sequential,
         )
         logger.debug(
-            f"[profile]   optimize_smooth_param: {time.perf_counter() - _t0:.3f}s"
+            f"[timing]   optimize_smooth_param: {time.perf_counter() - _t0:.3f}s"
         )
 
     _t0 = time.perf_counter()
@@ -442,7 +442,7 @@ def run_kalman_smoother(
         sequential=sequential,
     )
     logger.debug(
-        f"[profile]   final smoother pass ({K} keypoints): "
+        f"[timing]   final smoother pass ({K} keypoints): "
         f"{time.perf_counter() - _t0:.3f}s"
     )
     return s_finals, np.asarray(ms), np.asarray(Vs)

@@ -1,9 +1,10 @@
 """MarkerArray: named-axis 5-D container for ensemble pose predictions.
 
 Axes are fixed as ``(models, cameras, frames, keypoints, fields)``; fields are
-named (e.g. ``["x", "y", "likelihood"]``). API parity with the reference
-container (reference: eks/marker_array.py:15-266) so downstream smoothers can
-slice/stack without positional-axis bookkeeping.
+named (e.g. ``["x", "y", "likelihood"]``). Same exterior contract as the
+reference container (reference: eks/marker_array.py:15-266) so downstream
+smoothers can slice/stack without positional-axis bookkeeping; the
+implementation here is original.
 
 The container is host-side (NumPy-backed by default): it exists to organise
 I/O and packaging. Device compute takes raw arrays extracted from it; nothing
@@ -33,6 +34,22 @@ __all__ = [
 
 # canonical axis order for every MarkerArray
 _AXES = ("models", "cameras", "frames", "keypoints", "fields")
+_FIELD_AXIS = 4
+
+
+def _axis_index(axis: str) -> int:
+    """Resolve a named axis to its position, or fail loudly."""
+    assert axis in _AXES, (
+        f"Unknown axis {axis!r}; valid axes are {list(_AXES)}."
+    )
+    return _AXES.index(axis)
+
+
+def _select(arr: np.ndarray, axis: int, idxs: Sequence[int]) -> np.ndarray:
+    """Gather ``idxs`` along ``axis`` via basic fancy indexing (axis is kept)."""
+    key = [slice(None)] * arr.ndim
+    key[axis] = list(idxs)
+    return arr[tuple(key)]
 
 
 class MarkerArray:
@@ -52,33 +69,36 @@ class MarkerArray:
     ):
         if marker_array is not None:
             assert isinstance(marker_array, MarkerArray), (
-                "marker_array must be a MarkerArray."
+                "The marker_array argument only accepts another MarkerArray."
             )
-            if array is not None:
-                # clone-with-override (used by reorder)
-                self.array = array
-            else:
-                self.array = np.array(marker_array.array, dtype=dtype)
+            # clone (deep-copies the buffer); `array` may override the payload
+            self.array = (
+                np.array(marker_array.array, dtype=dtype) if array is None else array
+            )
             self.data_fields = (
-                marker_array.data_fields if data_fields is None else data_fields
+                list(marker_array.data_fields)
+                if data_fields is None and marker_array.data_fields is not None
+                else data_fields
             )
         elif array is not None:
             assert isinstance(array, _ARRAY_TYPES), (
-                "Input must be a NumPy or JAX array."
+                "MarkerArray wraps NumPy/JAX arrays only."
             )
             assert array.ndim == 5, (
-                "Expected shape (n_models, n_cameras, n_frames, n_keypoints, n_fields)."
+                f"Need a 5-D array ordered as {_AXES}; got ndim={array.ndim}."
             )
             self.array = array
             self.data_fields = data_fields
         elif shape is not None:
             assert len(shape) == 5, (
-                "Shape must be (n_models, n_cameras, n_frames, n_keypoints, n_fields)."
+                f"A MarkerArray shape has exactly 5 entries ({_AXES})."
             )
             self.array = np.zeros(tuple(int(s) for s in shape), dtype=dtype)
             self.data_fields = data_fields
         else:
-            raise AssertionError("Provide either `array`, `shape`, or `marker_array`.")
+            raise AssertionError(
+                "Nothing to build from: pass one of array / shape / marker_array."
+            )
 
         (
             self.n_models,
@@ -90,6 +110,13 @@ class MarkerArray:
         self.axis_map = {name: i for i, name in enumerate(_AXES)}
 
     # ------------------------------------------------------------------ #
+    def _derive(self, array, fields: list[str] | None = None) -> "MarkerArray":
+        """New instance sharing this one's field names unless overridden."""
+        return MarkerArray(
+            array,
+            data_fields=self.data_fields if fields is None else fields,
+        )
+
     @property
     def shape(self) -> tuple:
         return tuple(self.array.shape)
@@ -98,88 +125,83 @@ class MarkerArray:
         """Underlying array, with singleton axes squeezed out if requested."""
         return np.squeeze(self.array) if squeeze else self.array
 
+    def _field_positions(self, fields: Sequence[str]) -> list[int]:
+        for f in fields:
+            assert f in (self.data_fields or []), (
+                f"No field named {f!r} here; this array carries {self.data_fields}."
+            )
+        return [self.data_fields.index(f) for f in fields]
+
     # ------------------------------------------------------------------ #
     def slice(self, axis: str, indices) -> "MarkerArray":
         """Take ``indices`` along a named axis; the axis is kept (len >= 1)."""
-        assert axis in self.axis_map, (
-            f"Invalid slice axis: {axis}. Must be one of {list(self.axis_map.keys())}."
-        )
+        ax = _axis_index(axis)
         if isinstance(indices, (int, np.integer)):
             indices = [int(indices)]
-        return MarkerArray(
-            np.take(self.array, indices, axis=self.axis_map[axis]),
-            data_fields=self.data_fields,
-        )
+        return self._derive(_select(self.array, ax, indices))
 
     def slice_fields(self, *fields: str) -> "MarkerArray":
         """Keep only the named fields (in the order given)."""
-        for f in fields:
-            assert f in self.data_fields, (
-                f"Field '{f}' not found in data_fields: {self.data_fields}"
-            )
-        idxs = [self.data_fields.index(f) for f in fields]
-        return MarkerArray(
-            np.take(self.array, idxs, axis=4), data_fields=list(fields)
+        idxs = self._field_positions(fields)
+        return self._derive(
+            _select(self.array, _FIELD_AXIS, idxs), fields=list(fields)
         )
 
     # ------------------------------------------------------------------ #
     @staticmethod
     def stack(others: Sequence["MarkerArray"], axis: str) -> "MarkerArray":
         """Concatenate multiple MarkerArrays along a named axis."""
-        assert len(others) > 0, "At least one MarkerArray must be provided for stacking."
-        ref = others[0]
-        assert axis in ref.axis_map, (
-            f"Invalid stack axis: {axis}. Must be one of {list(ref.axis_map.keys())}."
-        )
-        ax = ref.axis_map[axis]
+        assert len(others) > 0, "stack needs a non-empty sequence of MarkerArrays."
+        ax = _axis_index(axis)
+        first = others[0]
+        want = np.delete(np.asarray(first.shape), ax)
         for other in others[1:]:
             assert isinstance(other, MarkerArray), (
-                "All elements in 'others' must be MarkerArray instances."
+                "stack only combines MarkerArray instances."
             )
-            ref_rest = ref.array.shape[:ax] + ref.array.shape[ax + 1:]
-            oth_rest = other.array.shape[:ax] + other.array.shape[ax + 1:]
-            assert ref_rest == oth_rest, (
-                f"Shape mismatch: Cannot stack along '{axis}' due to differing dimensions."
+            have = np.delete(np.asarray(other.shape), ax)
+            assert (want == have).all(), (
+                f"Incompatible shapes along {axis!r}: the non-stacked axes differ "
+                f"({first.shape} vs {other.shape})."
             )
-        return MarkerArray(
-            np.concatenate([o.array for o in others], axis=ax),
-            data_fields=ref.data_fields,
+        return first._derive(
+            np.concatenate([o.array for o in others], axis=ax)
         )
 
     def stack_fields(*marker_arrays: "MarkerArray") -> "MarkerArray":
         """Concatenate along the fields axis, merging field names."""
         assert len(marker_arrays) > 0, (
-            "At least one MarkerArray must be provided for stacking."
+            "stack_fields needs at least one MarkerArray."
         )
-        ref = marker_arrays[0]
-        for other in marker_arrays[1:]:
-            assert isinstance(other, MarkerArray), (
-                "All inputs must be MarkerArray instances."
-            )
-            assert ref.array.shape[:4] == other.array.shape[:4], (
-                "Shape mismatch: Cannot stack along 'fields' due to differing dimensions."
-            )
+        first = marker_arrays[0]
         merged_fields: list[str] = []
         for other in marker_arrays:
+            assert isinstance(other, MarkerArray), (
+                "stack_fields only combines MarkerArray instances."
+            )
+            assert other.shape[:_FIELD_AXIS] == first.shape[:_FIELD_AXIS], (
+                f"Field-stacking requires matching leading axes; "
+                f"got {first.shape[:4]} vs {other.shape[:4]}."
+            )
             assert other.data_fields is not None, (
-                "All MarkerArrays must have data_fields defined."
+                "Every input to stack_fields must carry field names."
             )
             merged_fields.extend(other.data_fields)
-        return MarkerArray(
-            np.concatenate([o.array for o in marker_arrays], axis=4),
-            data_fields=merged_fields,
+        return first._derive(
+            np.concatenate([o.array for o in marker_arrays], axis=_FIELD_AXIS),
+            fields=merged_fields,
         )
 
     def reorder_data_fields(self, new_order: list[str]) -> "MarkerArray":
         """Permute the fields axis to match ``new_order``."""
-        assert set(new_order) == set(self.data_fields), (
-            f"Mismatch in data fields: Expected {self.data_fields}, but got {new_order}"
+        assert set(new_order) == set(self.data_fields or []), (
+            f"reorder needs a permutation of {self.data_fields}; got {new_order}."
         )
-        idxs = [self.data_fields.index(f) for f in new_order]
+        idxs = self._field_positions(new_order)
         return MarkerArray(
             marker_array=self,
-            array=np.take(self.array, idxs, axis=4),
-            data_fields=new_order,
+            array=_select(self.array, _FIELD_AXIS, idxs),
+            data_fields=list(new_order),
         )
 
     # ------------------------------------------------------------------ #
@@ -203,38 +225,40 @@ def input_dfs_to_markerArray(
     """Build a (models, cameras, frames, keypoints, fields) MarkerArray from a
     per-camera list of per-model DataFrames with flat ``{kp}_{field}`` columns.
 
-    Reference semantics: eks/marker_array.py:269-299.
+    Same exterior contract as the reference converter
+    (eks/marker_array.py:269-299); here the per-(keypoint, field) column loop is
+    replaced by one vectorized column gather per DataFrame.
     """
-    n_keypoints = len(bodypart_list)
-    n_cameras = len(camera_names)
     n_models = len(input_dfs_list[0])
     n_frames = input_dfs_list[0][0].shape[0]
-    n_fields = len(data_fields)
+    wanted = [f"{kp}_{f}" for kp in bodypart_list for f in data_fields]
 
-    out = np.zeros((n_models, n_cameras, n_frames, n_keypoints, n_fields))
-    for c in range(n_cameras):
+    planes = np.empty(
+        (n_models, len(camera_names), n_frames, len(bodypart_list), len(data_fields))
+    )
+    for c in range(len(camera_names)):
         for m in range(n_models):
-            df = input_dfs_list[c][m]
-            # one gather per (keypoint, field) column
-            for k, kp in enumerate(bodypart_list):
-                for d, field in enumerate(data_fields):
-                    out[m, c, :, k, d] = df[f"{kp}_{field}"].to_numpy()
-    return MarkerArray(out, data_fields=data_fields)
+            # one (T, K*F) gather, then fold the trailing axis into (K, F)
+            block = input_dfs_list[c][m][wanted].to_numpy()
+            planes[m, c] = block.reshape(
+                n_frames, len(bodypart_list), len(data_fields)
+            )
+    return MarkerArray(planes, data_fields=data_fields)
 
 
 def mA_to_stacked_array(marker_array: MarkerArray, keypoint_idx: int) -> np.ndarray:
     """Flatten one keypoint of a single-model MarkerArray to (n_frames, n_cameras*n_fields),
     with per-frame layout [cam0 fields..., cam1 fields..., ...].
 
-    Reference semantics: eks/marker_array.py:302-324.
+    Same exterior contract as the reference (eks/marker_array.py:302-324).
     """
     _, n_cameras, n_frames, n_keypoints, n_fields = marker_array.shape
     assert 0 <= keypoint_idx < n_keypoints, (
-        f"keypoint_idx {keypoint_idx} is out of range (0-{n_keypoints - 1})"
+        f"keypoint index {keypoint_idx} outside [0, {n_keypoints})."
     )
-    sel = marker_array.slice("keypoints", keypoint_idx).get_array()[0]
-    # (cameras, frames, 1, fields) -> (frames, cameras*fields)
-    return sel.transpose(1, 0, 2, 3).reshape(-1, n_cameras * n_fields)
+    # (cameras, frames, fields) for model 0, then frames-major flatten
+    one_kp = marker_array.array[0, :, :, keypoint_idx, :]
+    return np.moveaxis(one_kp, 0, 1).reshape(n_frames, n_cameras * n_fields)
 
 
 def stacked_array_to_mA(
@@ -247,8 +271,8 @@ def stacked_array_to_mA(
     """
     n_frames, total = stacked.shape
     assert total % n_cameras == 0, (
-        "Input shape mismatch: total fields must be divisible by n_cameras."
+        f"Cannot split {total} stacked columns across {n_cameras} cameras evenly."
     )
-    n_fields = total // n_cameras
-    arr = stacked.reshape(n_frames, n_cameras, n_fields).transpose(1, 0, 2)
-    return MarkerArray(arr[None, :, :, None, :], data_fields=data_fields)
+    per_cam = stacked.reshape(n_frames, n_cameras, total // n_cameras)
+    arr = np.moveaxis(per_cam, 1, 0)[:, :, None, :][None]
+    return MarkerArray(arr, data_fields=data_fields)

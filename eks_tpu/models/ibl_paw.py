@@ -107,10 +107,10 @@ def fit_eks_multicam_ibl_paw(
                 timestamps_right = ts
 
     if timestamps_left is None or timestamps_right is None:
-        raise ValueError("Need timestamps for both cameras")
+        raise ValueError("Both cameras need a timestamps .npy file for alignment")
     if len(input_dfs_right) != len(input_dfs_left) or len(input_dfs_left) == 0:
         raise ValueError(
-            "Need same number of left and right camera models and >=1 model for each."
+            "Left and right cameras must contribute equal, non-zero ensemble counts."
         )
 
     # frames of the left camera that fall inside the right camera's range

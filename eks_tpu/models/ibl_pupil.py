@@ -152,7 +152,7 @@ def fit_eks_pupil(
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
     df_smoothed.to_csv(save_file)
-    logger.info("dataframes successfully converted to CSV")
+    logger.info("results packaged into output CSV frames")
     return df_smoothed, smooth_params_final, input_dfs_list, BODYPART_LIST
 
 
@@ -203,7 +203,7 @@ def ensemble_kalman_smoother_ibl_pupil(
         s_frames=s_frames,
         smooth_params=smooth_params,
     )
-    logger.debug(f"diameter_s={s_finals[0]}, com_s={s_finals[1]}")
+    logger.debug(f"tuned pupil params: diameter_s={s_finals[0]}, com_s={s_finals[1]}")
 
     y_m_smooth = ms @ PUPIL_C.T  # (T, 8)
     y_v_smooth = np.einsum("ij,tjl,ml->tim", PUPIL_C, Vs, PUPIL_C)  # (T, 8, 8)

@@ -184,26 +184,26 @@ def fit_eks_multicam(
         camgroup = CameraGroup.load(calibration)
         if camera_names is not None:
             logger.warning(
-                "camera_names argument is ignored when calibration is provided; "
-                "camera names will be read from the calibration file"
+                "calibration file supplies its own camera names; the camera_names argument is dropped — "
+                "names are taken from the TOML"
             )
         camera_names = [cam.name for cam in camgroup.cameras]
     else:
         camgroup = None
         if camera_names is None:
             raise ValueError(
-                "camera_names must be provided when no calibration file is given"
+                "without a calibration file, pass camera_names explicitly"
             )
 
     _t0 = time.perf_counter()
     input_dfs_list, keypoint_names = format_data(input_source, camera_names=camera_names)
-    logger.debug(f"[profile] format_data: {time.perf_counter() - _t0:.3f}s")
+    logger.debug(f"[timing] format_data: {time.perf_counter() - _t0:.3f}s")
     if bodypart_list is None:
         bodypart_list = keypoint_names
 
     _t0 = time.perf_counter()
     marker_array = input_dfs_to_markerArray(input_dfs_list, bodypart_list, camera_names)
-    logger.debug(f"[profile] input_dfs_to_markerArray: {time.perf_counter() - _t0:.3f}s")
+    logger.debug(f"[timing] input_dfs_to_markerArray: {time.perf_counter() - _t0:.3f}s")
 
     camera_dfs, s_finals, df_3d = ensemble_kalman_smoother_multicam(
         marker_array=marker_array,
@@ -265,7 +265,7 @@ def ensemble_kalman_smoother_multicam(
     valid_mask, emA_centered, emA_good_centered, emA_means = center_predictions(
         emA, quantile_keep_pca
     )
-    logger.debug(f"[profile] ensemble + centering: {time.perf_counter() - _t0:.3f}s")
+    logger.debug(f"[timing] ensemble + centering: {time.perf_counter() - _t0:.3f}s")
 
     # optional Mahalanobis variance inflation
     _t0 = time.perf_counter()
@@ -279,8 +279,8 @@ def ensemble_kalman_smoother_multicam(
         )
     else:
         emA_inflated_vars = emA_vars
-    label = "variance inflation (maha)" if inflate_vars else "variance inflation (skipped)"
-    logger.debug(f"[profile] {label}: {time.perf_counter() - _t0:.3f}s")
+    label = "mahalanobis variance inflation" if inflate_vars else "variance inflation skipped"
+    logger.debug(f"[timing] {label}: {time.perf_counter() - _t0:.3f}s")
 
     using_nonlinear = camgroup is not None
     h_cams: list = []
@@ -290,7 +290,7 @@ def ensemble_kalman_smoother_multicam(
         _t0 = time.perf_counter()
         tri_models = triangulate_3d_models(marker_array, camgroup)  # (M, K, T, 3)
         ys_3d = tri_models.mean(axis=0)  # (K, T, 3)
-        logger.debug(f"[profile] triangulation: {time.perf_counter() - _t0:.3f}s")
+        logger.debug(f"[timing] triangulation: {time.perf_counter() - _t0:.3f}s")
 
         m0s, S0s, As, Qs, Cs = initialize_kalman_filter_geometric(ys_3d)
         h_fn, h_cams = make_projection_from_camgroup(camgroup)
@@ -309,7 +309,7 @@ def ensemble_kalman_smoother_multicam(
             valid_mask, emA_centered, emA_good_centered,
             n_components=n_latent, pca_object=pca_object,
         )
-        logger.debug(f"[profile] PCA: {time.perf_counter() - _t0:.3f}s")
+        logger.debug(f"[timing] PCA: {time.perf_counter() - _t0:.3f}s")
 
         m0s, S0s, As, Qs, Cs = initialize_kalman_filter_pca(
             good_pcs_list=good_pcs_list, ensemble_pca=ensemble_pca, n_latent=n_latent
@@ -333,7 +333,7 @@ def ensemble_kalman_smoother_multicam(
         smooth_param=smooth_param,
         h_fn=h_fn,
     )
-    logger.debug(f"[profile] run_kalman_smoother: {time.perf_counter() - _t0:.3f}s")
+    logger.debug(f"[timing] run_kalman_smoother: {time.perf_counter() - _t0:.3f}s")
 
     # reprojection + packaging
     _t0 = time.perf_counter()
@@ -415,7 +415,7 @@ def ensemble_kalman_smoother_multicam(
                     arr, columns=make_dlc_pandas_index(keypoint_names, OUTPUT_LABELS)
                 )
             )
-    logger.debug(f"[profile] reprojection + packaging: {time.perf_counter() - _t0:.3f}s")
+    logger.debug(f"[timing] reprojection + packaging: {time.perf_counter() - _t0:.3f}s")
 
     # 3-D latent dataframe
     labels_3d = ["x", "y", "z", "x_posterior_var", "y_posterior_var", "z_posterior_var"]
@@ -434,7 +434,7 @@ def ensemble_kalman_smoother_multicam(
     )
 
     logger.debug(
-        f"[profile] ensemble_kalman_smoother_multicam total: "
+        f"[timing] ensemble_kalman_smoother_multicam total: "
         f"{time.perf_counter() - _t0_total:.3f}s"
     )
     return camera_dfs, s_finals, df_3d
@@ -533,7 +533,7 @@ def mA_compute_maha(
         variances = mA_to_stacked_array(emA_vars, k)
         likes = mA_to_stacked_array(emA_likes, k)
 
-        logger.info(f"inflating keypoint: {k}")
+        logger.info(f"variance-inflation pass for keypoint {k}")
         inflated = True
         tmp = variances
         while inflated:
@@ -569,7 +569,7 @@ def inflate_variance(
 
     Returns (updated_v, anything_inflated).
     """
-    assert len(maha_dict) >= 2, "must have >=2 views to inflate variance"
+    assert len(maha_dict) >= 2, "variance inflation needs at least two camera views"
     updated = v.copy()
     N, _ = v.shape
     C = len(maha_dict)

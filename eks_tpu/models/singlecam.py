@@ -75,7 +75,7 @@ def fit_eks_singlecam(
     input_dfs_list, keypoint_names = format_data(input_source)
     if bodypart_list is None:
         bodypart_list = keypoint_names
-        logger.info(f"input data loaded for keypoints:\n{bodypart_list}")
+        logger.info(f"ensemble predictions loaded; keypoints: {bodypart_list}")
 
     marker_array = input_dfs_to_markerArray([input_dfs_list], bodypart_list, [""])
     df_smoothed, s_finals = ensemble_kalman_smoother_singlecam(
@@ -92,7 +92,7 @@ def fit_eks_singlecam(
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
     df_smoothed.to_csv(save_file)
-    logger.info("dataframes successfully converted to CSV")
+    logger.info("results packaged into output CSV frames")
     return df_smoothed, s_finals, input_dfs_list, bodypart_list
 
 

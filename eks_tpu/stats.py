@@ -93,7 +93,7 @@ def compute_pca(
         (n_good_frames_k, n_components) array per keypoint.
     """
     n_models, n_cameras, n_frames, n_keypoints, _ = emA_centered_preds.shape
-    assert n_models == 1, "MarkerArray should have n_models = 1 after ensembling."
+    assert n_models == 1, "Expected a post-ensemble MarkerArray (models axis already collapsed to 1)."
 
     if pca_object is None:
         # one batched fit for all keypoints (equal n_good after truncation)
@@ -125,8 +125,87 @@ def compute_pca(
 # --------------------------------------------------------------------------- #
 # Factor Analysis
 # --------------------------------------------------------------------------- #
+def _plu_factor(A: np.ndarray) -> np.ndarray:
+    """P @ L of the partially-pivoted LU factorization A = P L U.
+
+    Pure-numpy Doolittle elimination with row pivoting; the permuted
+    unit-lower factor is what sklearn's randomized range finder uses to
+    re-orthogonalize power iterations (scipy.linalg.lu(permute_l=True)).
+    """
+    A = np.array(A, dtype=np.float64)
+    m, n = A.shape
+    k = min(m, n)
+    perm = np.arange(m)
+    for j in range(k):
+        p = j + int(np.argmax(np.abs(A[j:, j])))
+        if p != j:
+            A[[j, p]] = A[[p, j]]
+            perm[[j, p]] = perm[[p, j]]
+        piv = A[j, j]
+        if piv != 0.0:
+            A[j + 1:, j] /= piv
+            A[j + 1:, j + 1:] -= np.outer(A[j + 1:, j], A[j, j + 1:])
+    L = np.tril(A[:, :k], -1)
+    L[np.arange(k), np.arange(k)] = 1.0
+    PL = np.empty_like(L)
+    PL[perm] = L  # undo the row swaps: rows return to their original slots
+    return PL
+
+
+def _svd_flip_sign(U: np.ndarray, Vt: np.ndarray, u_based: bool = True):
+    """Deterministic sign convention: the largest-|.| entry of each singular
+    vector (column of U, or row of Vt) is made positive."""
+    if u_based:
+        anchor = np.argmax(np.abs(U), axis=0)
+        signs = np.sign(U[anchor, np.arange(U.shape[1])])
+    else:
+        anchor = np.argmax(np.abs(Vt), axis=1)
+        signs = np.sign(Vt[np.arange(Vt.shape[0]), anchor])
+    signs[signs == 0] = 1.0
+    return U * signs, Vt * signs[:, None]
+
+
+def _randomized_svd(
+    M: np.ndarray,
+    n_components: int,
+    n_iter: int,
+    rng: np.random.RandomState,
+    n_oversamples: int = 10,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Halko-style randomized truncated SVD reproducing sklearn's
+    ``randomized_svd`` stream: Gaussian sketch from ``rng``, LU-normalized
+    power iterations (sklearn's 'auto' normalizer for n_iter > 2), one final
+    QR, and a u-based sign flip. Matching the stream bit-for-bit is what pins
+    the variance-inflation fixed point to the reference's
+    (reference FA entry point: eks/stats.py:114-117)."""
+    n_random = n_components + n_oversamples
+    n_samples, n_features = M.shape
+    transpose = n_samples < n_features
+    if transpose:
+        M = M.T
+    Q = rng.normal(size=(M.shape[1], n_random))
+    for _ in range(n_iter):
+        Q = _plu_factor(M @ Q)
+        Q = _plu_factor(M.T @ Q)
+    Q, _ = np.linalg.qr(M @ Q)
+    B = Q.T @ M
+    Uhat, s, Vt = np.linalg.svd(B, full_matrices=False)
+    U = Q @ Uhat
+    U, Vt = _svd_flip_sign(U, Vt, u_based=not transpose)
+    if transpose:
+        return Vt[:n_components].T, s[:n_components], U[:, :n_components].T
+    return U[:, :n_components], s[:n_components], Vt[:n_components]
+
+
 class FactorAnalysis:
     """SVD-based EM Factor Analysis with sklearn-compatible semantics.
+
+    ``svd_method`` selects the per-iteration SVD flavor: ``"randomized"``
+    (sklearn's default — Halko sketch seeded by ``random_state``, shared
+    across EM iterations) or ``"lapack"`` (exact thin SVD). The default
+    matches the reference's ``FactorAnalysis(n_latent)`` call
+    (eks/stats.py:114-117), whose inflation fixed point depends on the
+    randomized stream.
 
     Attributes after fit: ``components_`` (L, F), ``mean_`` (F,),
     ``noise_variance_`` (F,), ``loglike_`` (list), ``n_iter_``.
@@ -138,16 +217,47 @@ class FactorAnalysis:
         tol: float = 1e-2,
         max_iter: int = 1000,
         noise_variance_init: np.ndarray | None = None,
+        svd_method: str = "randomized",
+        iterated_power: int = 3,
+        random_state: int | np.random.RandomState | None = 0,
     ):
+        assert svd_method in ("randomized", "lapack"), svd_method
         self.n_components = n_components
         self.tol = tol
         self.max_iter = max_iter
         self.noise_variance_init = noise_variance_init
+        self.svd_method = svd_method
+        self.iterated_power = iterated_power
+        self.random_state = random_state
+
+    def _svd_fn(self):
+        k = self.n_components
+        if self.svd_method == "lapack":
+            def exact(Xn):
+                _, s, Vt = np.linalg.svd(Xn, full_matrices=False)
+                return s[:k], Vt[:k], float(np.sum(s[k:] ** 2))
+
+            return exact
+
+        rs = self.random_state
+        rng = rs if isinstance(rs, np.random.RandomState) else np.random.RandomState(rs)
+
+        def sketched(Xn):
+            if Xn.shape[0] <= k:
+                # degenerate fits (e.g. every row filtered out) skip the
+                # sketch; the thin SVD handles the empty case gracefully
+                _, s, Vt = np.linalg.svd(Xn, full_matrices=False)
+                return s[:k], Vt[:k], float(np.sum(s[k:] ** 2))
+            _, s, Vt = _randomized_svd(Xn, k, n_iter=self.iterated_power, rng=rng)
+            return s, Vt, float(np.sum(Xn**2) - np.sum(s**2))
+
+        return sketched
 
     def fit(self, X: np.ndarray) -> "FactorAnalysis":
         X = np.asarray(X, dtype=np.float64)
         n_samples, n_features = X.shape
         n_components = self.n_components
+        my_svd = self._svd_fn()
 
         self.mean_ = X.mean(axis=0)
         Xc = X - self.mean_
@@ -167,10 +277,9 @@ class FactorAnalysis:
         W = np.zeros((n_components, n_features))
         for i in range(self.max_iter):
             sqrt_psi = np.sqrt(psi) + SMALL
-            _, s, Vt = np.linalg.svd(Xc / (sqrt_psi * nsqrt), full_matrices=False)
-            unexp_var = float(np.sum(s[n_components:] ** 2))
-            s2 = s[:n_components] ** 2
-            W = np.sqrt(np.maximum(s2 - 1.0, 0.0))[:, None] * Vt[:n_components]
+            s, Vt, unexp_var = my_svd(Xc / (sqrt_psi * nsqrt))
+            s2 = s**2
+            W = np.sqrt(np.maximum(s2 - 1.0, 0.0))[:, None] * Vt
             W *= sqrt_psi
 
             ll = llconst + np.sum(np.log(s2)) + unexp_var + np.sum(np.log(psi))

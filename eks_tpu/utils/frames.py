@@ -1,8 +1,8 @@
 """Frame-span cropping, observation-noise builders, and centering.
 
-Span semantics (reference: eks/utils.py:235-290): 0-based half-open
-``(start, end)`` tuples, None = open end, multiple non-overlapping spans are
-concatenated in ascending order.
+Span semantics (same contract as reference eks/utils.py:235-290): 0-based
+half-open ``(start, end)`` tuples, None = open end, multiple non-overlapping
+spans are concatenated in ascending order.
 """
 
 from __future__ import annotations
@@ -19,46 +19,47 @@ __all__ = [
 ]
 
 
-def _validate_spans(s_frames, n: int) -> list[tuple[int, int]]:
-    if not isinstance(s_frames, list):
-        raise TypeError("s_frames must be a list of (start, end) tuples or None.")
-    spans = []
-    for i, frame in enumerate(s_frames):
-        if not (isinstance(frame, tuple) and len(frame) == 2):
-            raise ValueError(f"s_frames[{i}] must be a (start, end) tuple, got {frame!r}")
-        start, end = frame
-        if start is not None and not isinstance(start, int):
-            raise ValueError(f"s_frames[{i}].start must be int or None, got {start!r}")
-        if end is not None and not isinstance(end, int):
-            raise ValueError(f"s_frames[{i}].end must be int or None, got {end!r}")
-        lo = 0 if start is None else start
-        hi = n if end is None else end
-        if lo < 0 or hi > n:
-            raise ValueError(f"Range ({lo}, {hi}) out of bounds for length {n}.")
-        if lo >= hi:
-            raise ValueError(f"Invalid range ({lo}, {hi}).")
-        spans.append((lo, hi))
-    spans.sort(key=lambda s: s[0])
-    for i in range(1, len(spans)):
-        if spans[i][0] < spans[i - 1][1]:
-            raise ValueError(
-                f"Overlapping or out-of-order intervals: {spans[i - 1]} and {spans[i]}"
-            )
-    return spans
+def _resolve_span(span, i: int, n: int) -> tuple[int, int]:
+    """Normalize one (start, end) entry to concrete [lo, hi) bounds."""
+    if not (isinstance(span, tuple) and len(span) == 2):
+        raise ValueError(f"span #{i} is not a (start, end) pair: {span!r}")
+    raw_lo, raw_hi = span
+    for end_name, value in (("start", raw_lo), ("end", raw_hi)):
+        if value is not None and not isinstance(value, int):
+            raise ValueError(f"span #{i} has a non-integer {end_name}: {value!r}")
+    lo = 0 if raw_lo is None else raw_lo
+    hi = n if raw_hi is None else raw_hi
+    if not 0 <= lo < hi <= n:
+        raise ValueError(
+            f"span #{i} resolves to [{lo}, {hi}), which is not a valid window "
+            f"on a length-{n} axis"
+        )
+    return lo, hi
 
 
 def crop_frames(y: np.ndarray, s_frames) -> np.ndarray:
     """Concatenate the frame spans of ``y`` selected by ``s_frames`` (axis 0)."""
-    n = len(y)
     if s_frames is None or len(s_frames) == 0:
         return y
-    if len(s_frames) == 1 and s_frames[0] == (None, None):
+    if not isinstance(s_frames, list):
+        raise TypeError("expected s_frames as a list of (start, end) tuples, or None")
+    if s_frames == [(None, None)]:
         return y
-    spans = _validate_spans(s_frames, n)
+    n = len(y)
+    spans = sorted(_resolve_span(f, i, n) for i, f in enumerate(s_frames))
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        if b_lo < a_hi:
+            raise ValueError(
+                f"spans [{a_lo}, {a_hi}) and [{b_lo}, {b_hi}) intersect; "
+                "cropping windows must be disjoint"
+            )
     if len(spans) == 1:
         lo, hi = spans[0]
         return y[lo:hi]
-    return np.concatenate([y[lo:hi] for lo, hi in spans], axis=0)
+    keep = np.zeros(n, dtype=bool)
+    for lo, hi in spans:
+        keep[lo:hi] = True
+    return np.asarray(y)[np.flatnonzero(keep)]
 
 
 def crop_R(R: np.ndarray, s_frames) -> np.ndarray:
@@ -92,7 +93,8 @@ def center_predictions(
     per-keypoint ``quantile_keep_pca`` percentile are marked invalid; all
     keypoints are truncated to the global minimum count of valid frames, and
     predictions are centered by the mean over those valid frames
-    (reference: eks/utils.py:293-365).
+    (same contract as reference eks/utils.py:293-365; implementation is one
+    vectorized take_along_axis gather rather than a per-keypoint loop).
 
     Returns:
         (valid_frames_mask (T, K) bool,
@@ -101,7 +103,7 @@ def center_predictions(
          emA_means (1, C, 1, K, 2))
     """
     n_models, n_cameras, n_frames, n_keypoints, _ = ensemble_marker_array.shape
-    assert n_models == 1, "MarkerArray should have n_models = 1 after ensembling."
+    assert n_models == 1, "Expected a post-ensemble MarkerArray (models axis already collapsed to 1)."
 
     preds = ensemble_marker_array.slice_fields("x", "y").array  # (1,C,T,K,2)
     variances = ensemble_marker_array.slice_fields("var_x", "var_y").array
@@ -111,24 +113,20 @@ def center_predictions(
     thresholds = np.percentile(max_vars, quantile_keep_pca, axis=0)
     valid_frames_mask = max_vars <= thresholds  # (T, K)
 
-    good_idx_per_kp = [np.where(valid_frames_mask[:, k])[0] for k in range(n_keypoints)]
-    min_frames = min(len(idx) for idx in good_idx_per_kp)
+    # every keypoint keeps its first `min_frames` valid frames; argsort on the
+    # inverted mask is a stable way to pull valid indices to the front per kp
+    min_frames = int(valid_frames_mask.sum(axis=0).min())
+    first_valid = np.argsort(~valid_frames_mask, axis=0, kind="stable")[:min_frames]
 
-    centered_list, good_centered_list, means_list = [], [], []
-    for k in range(n_keypoints):
-        idx = good_idx_per_kp[k][:min_frames]
-        good_k = preds[:, :, idx, k, :][:, :, :, None, :]  # (1,C,Tg,1,2)
-        means_k = np.mean(good_k, axis=2)[:, :, None, :, :]  # (1,C,1,1,2)
-        centered_k = preds[:, :, :, k: k + 1, :] - means_k
-        good_centered_k = good_k - means_k
+    # gather (1,C,Tg,K,2) in one shot: index varies along (frames, keypoints)
+    gather = first_valid[None, None, :, :, None]
+    good = np.take_along_axis(preds, gather, axis=2)
+    means = good.mean(axis=2, keepdims=True)  # (1,C,1,K,2)
 
-        centered_list.append(MarkerArray(centered_k, data_fields=["x", "y"]))
-        good_centered_list.append(MarkerArray(good_centered_k, data_fields=["x", "y"]))
-        means_list.append(MarkerArray(means_k, data_fields=["x", "y"]))
-
+    fields = ["x", "y"]
     return (
         valid_frames_mask,
-        MarkerArray.stack(centered_list, "keypoints"),
-        MarkerArray.stack(good_centered_list, "keypoints"),
-        MarkerArray.stack(means_list, "keypoints"),
+        MarkerArray(preds - means, data_fields=fields),
+        MarkerArray(good - means, data_fields=fields),
+        MarkerArray(means, data_fields=fields),
     )

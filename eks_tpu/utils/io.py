@@ -1,13 +1,17 @@
 """CSV/SLP loading and DLC-format conversion.
 
-Input contract (reference: eks/utils.py:138-232): a directory, list of files,
-or {camera: [files]} dict of prediction CSVs in the DeepLabCut/Lightning-Pose
-3-row-header format (scorer / bodyparts / coords). Output CSVs use scorer
-``ensemble-kalman_tracker``.
+Input contract (same as reference eks/utils.py:138-232): a directory, list of
+files, or {camera: [files]} dict of prediction CSVs in the
+DeepLabCut/Lightning-Pose 3-row-header format (scorer / bodyparts / coords),
+or SLEAP ``.slp`` files. Output CSVs use scorer ``ensemble-kalman_tracker``.
+
+Unlike the reference (which requires the sleap_io package), ``.slp`` files are
+read first-party via h5py (see :func:`read_slp_predictions`).
 """
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 
@@ -20,9 +24,12 @@ __all__ = [
     "make_dlc_pandas_index",
     "convert_lp_dlc",
     "convert_slp_dlc",
+    "read_slp_predictions",
     "get_keypoint_names",
     "format_data",
 ]
+
+_COORDS = ("x", "y", "likelihood")
 
 
 def make_dlc_pandas_index(
@@ -43,64 +50,111 @@ def convert_lp_dlc(
 ) -> pd.DataFrame:
     """Flatten a (scorer, bodypart, coord) MultiIndex DataFrame into
     ``{keypoint}_{coord}`` columns; missing or unnamed columns are skipped.
+
+    Same contract as reference eks/utils.py:35-69.
     """
-    out = {}
+    scorer = str(df_lp.columns[0][0]) if model_name is None else model_name
+    present = set(map(tuple, df_lp.columns))
+
+    def _usable(key: tuple) -> bool:
+        if key not in present:
+            return False
+        return not any(
+            isinstance(part, str) and part.startswith("Unnamed") for part in key
+        )
+
+    flat = {}
     for kp in keypoint_names:
-        for coord in ["x", "y", "likelihood"]:
-            if model_name is None:
-                model_name = str(df_lp.columns[0][0])
-            col = (model_name, kp, coord)
-            if any(
-                isinstance(level, str) and level.startswith("Unnamed")
-                for level in col
-            ):
-                continue
-            try:
-                out[f"{kp}_{coord}"] = df_lp.loc[:, col]
-            except KeyError:
-                continue
-    return pd.DataFrame(out, index=df_lp.index)
+        for coord in _COORDS:
+            key = (scorer, kp, coord)
+            if _usable(key):
+                flat[f"{kp}_{coord}"] = df_lp[key]
+    return pd.DataFrame(flat, index=df_lp.index)
+
+
+# ---------------------------------------------------------------------- #
+# first-party SLEAP .slp ingestion (HDF5 via h5py)
+# ---------------------------------------------------------------------- #
+def _slp_node_names(h5file) -> list[str]:
+    """Skeleton node names from the .slp metadata JSON blob.
+
+    The .slp container stores a jsonpickle document under
+    ``/metadata@json``; its top-level ``nodes`` list carries the node names in
+    skeleton order (SLEAP's default serialization).
+    """
+    blob = h5file["metadata"].attrs["json"]
+    if isinstance(blob, bytes):
+        blob = blob.decode("utf-8")
+    meta = json.loads(blob)
+    return [node["name"] for node in meta["nodes"]]
+
+
+def read_slp_predictions(file_path: str) -> tuple[np.ndarray, list[str]]:
+    """Read a SLEAP ``.slp`` file into a dense (frames, instances, nodes, 3)
+    array of (x, y, score) plus the node-name list — no sleap_io needed.
+
+    The .slp layout (HDF5): ``frames`` rows point at a span of ``instances``
+    rows, which point at spans of ``points`` (user labels) or ``pred_points``
+    (predictions, carrying a per-point score). Instance rows with
+    ``instance_type == 1`` are predictions. Replaces the reference's
+    sleap_io dependency (reference behavior: eks/utils.py:72-122).
+    """
+    import h5py
+
+    with h5py.File(file_path, "r") as f:
+        node_names = _slp_node_names(f)
+        frames = f["frames"][:]
+        instances = f["instances"][:]
+        points = f["points"][:] if "points" in f else np.empty((0,))
+        pred_points = f["pred_points"][:] if "pred_points" in f else np.empty((0,))
+
+    n_nodes = len(node_names)
+    n_frames = len(frames)
+    if n_frames == 0:
+        return np.zeros((0, 0, n_nodes, 3)), node_names
+
+    spans = [
+        (int(row["instance_id_start"]), int(row["instance_id_end"]))
+        for row in frames
+    ]
+    # the reference caps the instance count at the FIRST frame's count
+    max_instances = spans[0][1] - spans[0][0]
+
+    dense = np.zeros((n_frames, max_instances, n_nodes, 3))
+    for fi, (lo, hi) in enumerate(spans):
+        for slot, inst in enumerate(instances[lo:hi][:max_instances]):
+            predicted = int(inst["instance_type"]) == 1
+            table = pred_points if predicted else points
+            p0, p1 = int(inst["point_id_start"]), int(inst["point_id_end"])
+            rows = table[p0:p1]
+            for k in range(min(n_nodes, len(rows))):
+                x, y = float(rows[k]["x"]), float(rows[k]["y"])
+                dense[fi, slot, k, 0] = 0.0 if np.isnan(x) else x
+                dense[fi, slot, k, 1] = 0.0 if np.isnan(y) else y
+                score = float(rows[k]["score"]) if predicted else 0.0
+                dense[fi, slot, k, 2] = score + 1e-6
+    return dense, node_names
 
 
 def convert_slp_dlc(base_dir: str, slp_file: str) -> tuple:
-    """Read a SLEAP ``.slp`` file into a flat DLC-style DataFrame.
+    """Read a SLEAP ``.slp`` file into a flat DLC-style DataFrame with
+    ``{instance}_{keypoint}_{coord}`` columns (instances are 1-indexed),
+    and drop a ``.csv`` copy next to the working directory.
 
-    Requires the optional ``sleap_io`` dependency; raises ImportError with a
-    clear message if unavailable (reference: eks/utils.py:72-122).
+    Same exterior contract as reference eks/utils.py:72-122, built on the
+    first-party :func:`read_slp_predictions` instead of sleap_io.
     """
-    try:
-        from sleap_io.io.slp import read_labels
-    except ImportError as e:  # pragma: no cover - optional dependency
-        raise ImportError(
-            "reading .slp files requires the optional dependency 'sleap_io'"
-        ) from e
-
-    labels = read_labels(os.path.join(base_dir, slp_file))
-    max_instances = len(labels[0].instances)
-    keypoint_names = [node.name for node in labels[0].instances[0].points.keys()]
-    n_kp = len(keypoint_names)
-    n_frames = len(labels.labeled_frames)
-
-    data = np.zeros((n_frames, max_instances, n_kp, 3))
-    for i, frame in enumerate(labels.labeled_frames):
-        for j, instance in enumerate(frame.instances):
-            if j >= max_instances:
-                break
-            for k, node in enumerate(instance.points.keys()):
-                pt = instance.points[node]
-                data[i, j, k, 0] = 0 if np.isnan(pt.x) else pt.x
-                data[i, j, k, 1] = 0 if np.isnan(pt.y) else pt.y
-                data[i, j, k, 2] = getattr(pt, "score", 0) + 1e-6
-
-    columns = []
-    for j in range(max_instances):
-        for kp in keypoint_names:
-            columns.extend(
-                [f"{j + 1}_{kp}_x", f"{j + 1}_{kp}_y", f"{j + 1}_{kp}_likelihood"]
-            )
-    df = pd.DataFrame(data.reshape(n_frames, -1), columns=columns)
+    dense, keypoint_names = read_slp_predictions(os.path.join(base_dir, slp_file))
+    n_frames, max_instances = dense.shape[:2]
+    columns = [
+        f"{j + 1}_{kp}_{coord}"
+        for j in range(max_instances)
+        for kp in keypoint_names
+        for coord in _COORDS
+    ]
+    df = pd.DataFrame(dense.reshape(n_frames, -1), columns=columns)
     df.to_csv(f"{slp_file}.csv", index=False)
-    logger.info(f"file read. see read-in data at {slp_file}.csv")
+    logger.info(f"converted {slp_file}; flat copy written to {slp_file}.csv")
     return df, keypoint_names
 
 
@@ -136,7 +190,7 @@ def _load_one_native(file_path: str) -> tuple[pd.DataFrame, list] | None:
         col_index.setdefault(key, i)
     out = {}
     for kp in keypoint_names:
-        for coord in ["x", "y", "likelihood"]:
+        for coord in _COORDS:
             key = (model_name, kp, coord)
             if any(level.startswith("Unnamed") for level in key):
                 continue
@@ -164,6 +218,35 @@ def _load_one(file_path: str) -> tuple[pd.DataFrame, list] | None:
     return None
 
 
+def _candidate_paths(input_source) -> list | dict:
+    """Normalize the input_source forms to either a sorted path list or a
+    {camera: [paths]} dict."""
+    if isinstance(input_source, str) and os.path.isdir(input_source):
+        return sorted(
+            os.path.join(input_source, f) for f in os.listdir(input_source)
+        )
+    if isinstance(input_source, list):
+        return sorted(input_source)
+    if isinstance(input_source, dict):
+        return input_source
+    raise ValueError(
+        f"cannot interpret input_source of type {type(input_source).__name__}; "
+        "pass a directory, a list of prediction files, or a "
+        "{camera: [files]} mapping"
+    )
+
+
+def _paths_for_camera(file_paths, camera: str) -> list[str]:
+    """Loadable files belonging to one camera (by filename substring for a
+    flat list, by key for a dict)."""
+    pool = file_paths if isinstance(file_paths, list) else file_paths.get(camera, [])
+    return [
+        fp
+        for fp in pool
+        if camera in os.path.basename(fp) and fp.endswith((".csv", ".slp"))
+    ]
+
+
 def format_data(
     input_source: str | list | dict,
     camera_names: list | None = None,
@@ -179,20 +262,10 @@ def format_data(
 
     Returns:
         (input_dfs_list, keypoint_names)
+
+    Same exterior contract as reference eks/utils.py:138-232.
     """
-    if isinstance(input_source, str) and os.path.isdir(input_source):
-        file_paths: list | dict = sorted(
-            os.path.join(input_source, f) for f in os.listdir(input_source)
-        )
-    elif isinstance(input_source, list):
-        file_paths = sorted(input_source)
-    elif isinstance(input_source, dict):
-        file_paths = input_source
-    else:
-        raise ValueError(
-            "input_source must be a directory path, "
-            "a list of file paths, or a map from camera names to list of file paths"
-        )
+    file_paths = _candidate_paths(input_source)
 
     input_dfs_list: list = []
     keypoint_names = None
@@ -206,37 +279,32 @@ def format_data(
             input_dfs_list.append(df)
     else:
         for camera in camera_names:
-            files = (
-                file_paths
-                if isinstance(file_paths, list)
-                else file_paths.get(camera, [])
-            )
-            matched = [fp for fp in files if camera in os.path.basename(fp)]
-            valid = [
-                fp for fp in matched if fp.endswith(".csv") or fp.endswith(".slp")
-            ]
-            if len(valid) == 0:
+            cam_paths = _paths_for_camera(file_paths, camera)
+            if not cam_paths:
                 raise FileNotFoundError(
-                    f"no files matching camera '{camera}' found in {input_source}. "
-                    f"ensure the camera name appears as a substring of each filename."
+                    f"camera '{camera}' matched nothing under {input_source}; "
+                    "each prediction filename must contain its camera's name"
                 )
             dfs_this_cam = []
-            for fp in valid:
+            for fp in cam_paths:
                 loaded = _load_one(fp)
                 if loaded is None:
-                    raise ValueError(f"unsupported file format: {fp}")
+                    raise ValueError(f"cannot load predictions from {fp!r}")
                 df, keypoint_names = loaded
                 dfs_this_cam.append(df)
             input_dfs_list.append(dfs_this_cam)
 
-        seed_counts = [len(dfs) for dfs in input_dfs_list]
-        if len(set(seed_counts)) > 1:
-            counts = ", ".join(
-                f"{cam}: {n}" for cam, n in zip(camera_names, seed_counts, strict=True)
+        seed_counts = {len(dfs) for dfs in input_dfs_list}
+        if len(seed_counts) > 1:
+            detail = ", ".join(
+                f"{cam}={len(dfs)}"
+                for cam, dfs in zip(camera_names, input_dfs_list, strict=True)
             )
-            logger.warning(f"unequal number of seed files per camera ({counts})")
+            logger.warning(f"cameras carry different ensemble sizes: {detail}")
 
     if len(input_dfs_list) == 0:
-        raise FileNotFoundError(f"no valid marker input files found in {input_source}")
+        raise FileNotFoundError(
+            f"found no loadable prediction files in {input_source}"
+        )
     assert keypoint_names is not None
     return input_dfs_list, keypoint_names

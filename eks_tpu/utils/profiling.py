@@ -1,6 +1,6 @@
 """Profiling and observability helpers.
 
-The reference's observability is DEBUG-level ``[profile]`` wall-clock stage
+The reference's observability is DEBUG-level ``[timing]`` wall-clock stage
 timers (eks/core.py:228-301, eks/multicam_smoother.py:245-549); those exist
 inline here too. This module adds the TPU-side instruments on top:
 ``jax.profiler`` trace capture and per-program XLA cost analysis.
@@ -22,13 +22,13 @@ __all__ = ["stage_timer", "device_trace", "cost_summary"]
 
 @contextlib.contextmanager
 def stage_timer(name: str, logger_: logging.Logger | None = None):
-    """Log ``[profile] {name}: {seconds}s`` at DEBUG on exit."""
+    """Log ``[timing] {name}: {seconds}s`` at DEBUG on exit."""
     log = logger_ or logger
     t0 = time.perf_counter()
     try:
         yield
     finally:
-        log.debug(f"[profile] {name}: {time.perf_counter() - t0:.3f}s")
+        log.debug(f"[timing] {name}: {time.perf_counter() - t0:.3f}s")
 
 
 @contextlib.contextmanager

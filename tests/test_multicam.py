@@ -221,6 +221,50 @@ def test_nonlinear_smoother_runs(rng):
         assert err < 0.1
 
 
+@pytest.mark.skipif(not reference_data_available(), reason="reference data missing")
+def test_inflation_fixed_point_matches_sklearn_default(monkeypatch):
+    """The reference fits FactorAnalysis with sklearn defaults (randomized SVD,
+    random_state=0; /root/reference/eks/stats.py:114-117). Our FA must drive
+    the x10 inflation loop to the same fixed point on real data."""
+    from sklearn.decomposition import FactorAnalysis as SkFA
+
+    import eks_tpu.stats as stats_mod
+    from eks_tpu.core import ensemble
+    from eks_tpu.marker_array import input_dfs_to_markerArray
+    from eks_tpu.models.multicam import mA_compute_maha
+    from eks_tpu.utils import center_predictions, format_data
+
+    cams = ["top", "bot"]
+    dfs, kps = format_data(f"{REFERENCE_DATA}/mirror-mouse-separate", camera_names=cams)
+    ma = input_dfs_to_markerArray(dfs, kps, cams)
+    emA = ensemble(ma, avg_mode="median", var_mode="confidence_weighted_var")
+    emA_vars = emA.slice_fields("var_x", "var_y")
+    emA_likes = emA.slice_fields("likelihood")
+    _, emA_centered, _, _ = center_predictions(emA, 50.0)
+
+    ours = mA_compute_maha(emA_centered, emA_vars, emA_likes, 3,
+                           inflate_vars_kwargs={}).array.copy()
+
+    class _SkAdapter:
+        """sklearn-default FactorAnalysis behind our attribute surface."""
+
+        def __init__(self, n_components):
+            self._fa = SkFA(n_components=n_components, random_state=0)
+
+        def fit(self, X):
+            self._fa.fit(X)
+            self.components_ = self._fa.components_
+            self.mean_ = self._fa.mean_
+            return self
+
+    monkeypatch.setattr(stats_mod, "FactorAnalysis", _SkAdapter)
+    sk = mA_compute_maha(emA_centered, emA_vars, emA_likes, 3,
+                         inflate_vars_kwargs={}).array
+
+    # identical inflation decisions -> identical variances (not just close)
+    np.testing.assert_array_equal(ours == sk, True)
+
+
 # ------------------------------- e2e ------------------------------- #
 @pytest.mark.skipif(not reference_data_available(), reason="reference data missing")
 def test_fit_eks_mirrored_multicam_e2e(tmp_path):

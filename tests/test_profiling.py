@@ -13,7 +13,7 @@ def test_stage_timer_logs(caplog):
     with caplog.at_level(logging.DEBUG, logger="eks_tpu.test"):
         with stage_timer("unit-test-stage", logger_=logger):
             pass
-    assert any("[profile] unit-test-stage" in r.message for r in caplog.records)
+    assert any("[timing] unit-test-stage" in r.message for r in caplog.records)
 
 
 def test_cost_summary():

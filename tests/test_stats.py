@@ -67,7 +67,7 @@ def test_fa_matches_sklearn_lapack(rng):
     Z = rng.normal(size=(500, 3))
     W_true = rng.normal(size=(3, 8))
     X = Z @ W_true + rng.normal(size=(500, 8)) * 0.1 + 5.0
-    ours = FactorAnalysis(n_components=3).fit(X)
+    ours = FactorAnalysis(n_components=3, svd_method="lapack").fit(X)
     sk = SkFA(n_components=3, svd_method="lapack").fit(X)
     np.testing.assert_allclose(ours.mean_, sk.mean_, atol=1e-10)
     np.testing.assert_allclose(ours.noise_variance_, sk.noise_variance_, atol=1e-6)
@@ -77,17 +77,34 @@ def test_fa_matches_sklearn_lapack(rng):
     assert ours.n_iter_ == sk.n_iter_
 
 
-def test_fa_close_to_sklearn_default(rng):
-    # the sklearn default uses randomized SVD; agreement should still be close
+@pytest.mark.parametrize("shape,k", [((500, 4), 3), ((400, 6), 2), ((40, 8), 2)])
+def test_fa_matches_sklearn_default_randomized(rng, shape, k):
+    # our default reproduces sklearn's default (randomized SVD, shared
+    # RandomState(0) stream, LU power iterations) to float64 roundoff
     from sklearn.decomposition import FactorAnalysis as SkFA
 
-    Z = rng.normal(size=(400, 2))
-    X = Z @ rng.normal(size=(2, 6)) + rng.normal(size=(400, 6)) * 0.2
-    ours = FactorAnalysis(n_components=2).fit(X)
-    sk = SkFA(n_components=2).fit(X)
-    np.testing.assert_allclose(
-        np.abs(ours.components_), np.abs(sk.components_), atol=1e-2
+    Z = rng.normal(size=(shape[0], k))
+    X = Z @ rng.normal(size=(k, shape[1])) + rng.normal(size=shape) * 0.2
+    ours = FactorAnalysis(n_components=k).fit(X)
+    sk = SkFA(n_components=k, random_state=0).fit(X)
+    assert ours.n_iter_ == sk.n_iter_
+    np.testing.assert_allclose(ours.components_, sk.components_, atol=1e-9)
+    np.testing.assert_allclose(ours.noise_variance_, sk.noise_variance_, atol=1e-9)
+
+
+def test_randomized_svd_matches_sklearn_stream(rng):
+    from sklearn.utils.extmath import randomized_svd as sk_rsvd
+
+    from eks_tpu.stats import _randomized_svd
+
+    X = rng.normal(size=(300, 6))
+    u, s, vt = _randomized_svd(X, 3, n_iter=3, rng=np.random.RandomState(7))
+    u2, s2, vt2 = sk_rsvd(
+        X, 3, n_iter=3, random_state=7, power_iteration_normalizer="LU"
     )
+    np.testing.assert_allclose(s, s2, atol=1e-12)
+    np.testing.assert_allclose(vt, vt2, atol=1e-12)
+    np.testing.assert_allclose(u, u2, atol=1e-12)
 
 
 # ----------------------------- Mahalanobis ----------------------------- #

@@ -174,6 +174,93 @@ def test_center_predictions_quantile_and_truncation(rng):
     assert means.shape == (1, C, 1, K, 2)
 
 
+# ------------------------- .slp reader ------------------------- #
+def _make_slp(path, node_names, xy, scores):
+    """Write a minimal SLEAP .slp container: one predicted instance per frame.
+
+    xy: (T, K, 2) float; scores: (T, K) float.
+    """
+    import json
+
+    import h5py
+
+    T, K, _ = xy.shape
+    frames_dt = np.dtype(
+        [
+            ("frame_id", "u8"),
+            ("video", "u4"),
+            ("frame_idx", "u8"),
+            ("instance_id_start", "u8"),
+            ("instance_id_end", "u8"),
+        ]
+    )
+    inst_dt = np.dtype(
+        [
+            ("instance_id", "u8"),
+            ("instance_type", "u1"),
+            ("frame_id", "u8"),
+            ("skeleton", "u4"),
+            ("track", "i4"),
+            ("from_predicted", "i8"),
+            ("score", "f4"),
+            ("point_id_start", "u8"),
+            ("point_id_end", "u8"),
+        ]
+    )
+    pred_dt = np.dtype(
+        [("x", "f8"), ("y", "f8"), ("visible", "?"), ("complete", "?"), ("score", "f8")]
+    )
+    frames = np.zeros(T, dtype=frames_dt)
+    insts = np.zeros(T, dtype=inst_dt)
+    pts = np.zeros(T * K, dtype=pred_dt)
+    for t in range(T):
+        frames[t] = (t, 0, t, t, t + 1)
+        insts[t] = (t, 1, t, 0, -1, -1, 0.9, t * K, (t + 1) * K)
+        for k in range(K):
+            pts[t * K + k] = (xy[t, k, 0], xy[t, k, 1], True, False, scores[t, k])
+    meta = {"nodes": [{"name": n, "weight": 1.0} for n in node_names]}
+    with h5py.File(path, "w") as f:
+        f.create_dataset("frames", data=frames)
+        f.create_dataset("instances", data=insts)
+        f.create_dataset("pred_points", data=pts)
+        f.create_group("metadata").attrs["json"] = json.dumps(meta)
+
+
+def test_read_slp_predictions(tmp_path):
+    from eks_tpu.utils.io import read_slp_predictions
+
+    rng = np.random.default_rng(3)
+    xy = rng.normal(size=(4, 2, 2))
+    xy[2, 1, 0] = np.nan  # NaN coordinates are zeroed
+    scores = rng.uniform(size=(4, 2))
+    path = tmp_path / "sess.slp"
+    _make_slp(path, ["nose", "tail"], xy, scores)
+
+    dense, names = read_slp_predictions(str(path))
+    assert names == ["nose", "tail"]
+    assert dense.shape == (4, 1, 2, 3)
+    np.testing.assert_allclose(dense[0, 0, :, 0], xy[0, :, 0])
+    assert dense[2, 0, 1, 0] == 0.0  # NaN -> 0
+    np.testing.assert_allclose(dense[..., 2], scores[:, None, :] + 1e-6)
+
+
+def test_format_data_slp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # convert_slp_dlc drops a CSV copy in cwd
+    rng = np.random.default_rng(4)
+    _make_slp(
+        tmp_path / "preds.slp",
+        ["a", "b"],
+        rng.normal(size=(5, 2, 2)),
+        rng.uniform(size=(5, 2)),
+    )
+    dfs, names = format_data([str(tmp_path / "preds.slp")])
+    assert names == ["a", "b"]
+    assert list(dfs[0].columns) == [
+        "1_a_x", "1_a_y", "1_a_likelihood", "1_b_x", "1_b_y", "1_b_likelihood",
+    ]
+    assert dfs[0].shape == (5, 6)
+
+
 def test_center_predictions_quantile_100_keeps_all(rng):
     ma_in = MarkerArray(
         np.concatenate(
