@@ -14,8 +14,10 @@ TPU-first redesign of the reference pipeline (eks/core.py):
     (eks/core.py:562-699) collapse into a single compilation.
   * The filter inside the loss and the final smoother default to the
     O(log T)-depth parallel-prefix implementation (ops/pkalman.py); the
-    sequential scan is kept for the nonlinear (calibrated-projection) path
-    and as a parity oracle.
+    nonlinear (calibrated-projection) path runs the iterated parallel EKF
+    (relinearize at the predicted trajectory -> parallel linear sweep,
+    fixed point == sequential EKF). The sequential scan is kept as a parity
+    oracle behind ``sequential=True``.
 
 Exact reference semantics preserved (for output parity):
   * ensemble: median/mean consensus; confidence-weighted variance
@@ -48,7 +50,12 @@ from jax import lax, vmap
 from eks_tpu.marker_array import MarkerArray
 from eks_tpu.ops.kalman import kalman_filter, kalman_smoother
 from eks_tpu.ops.linalg import highest_precision
-from eks_tpu.ops.pkalman import kalman_filter_parallel, kalman_smoother_parallel
+from eks_tpu.ops.pkalman import (
+    ekf_parallel,
+    eks_parallel,
+    kalman_filter_parallel,
+    kalman_smoother_parallel,
+)
 from eks_tpu.utils import crop_frames
 
 logger = logging.getLogger(__name__)
@@ -156,8 +163,10 @@ def _constant_r_from_vars(vars_t: np.ndarray, min_var: float = 1e-4) -> np.ndarr
 def _filter_nll(y, m0, S0, A, Q, C, r, h_fn, sequential):
     """Filter NLL for one sequence; non-finite -> 1e12 penalty
     (reference guard: eks/core.py:471,502,650)."""
-    if h_fn is not None or sequential:
+    if sequential:
         res = kalman_filter(y, m0, S0, A, Q, C=C, r_diag=r, h_fn=h_fn)
+    elif h_fn is not None:
+        res = ekf_parallel(y, m0, S0, A, Q, h_fn, r)
     else:
         res = kalman_filter_parallel(y, m0, S0, A, Q, C, r)
     nll = -res.log_likelihood
@@ -351,8 +360,10 @@ def optimize_smooth_param(
 @highest_precision
 def _smooth_all(ys, m0s, S0s, As, Qs, Cs, s_finals, rs, h_fn=None, sequential=False):
     def smooth_one(y, m0, S0, A, Q, C, s, r):
-        if h_fn is not None or sequential:
+        if sequential:
             res = kalman_smoother(y, m0, S0, A, s * Q, C=C, r_diag=r, h_fn=h_fn)
+        elif h_fn is not None:
+            res = eks_parallel(y, m0, S0, A, s * Q, h_fn, r)
         else:
             res = kalman_smoother_parallel(y, m0, S0, A, s * Q, C, r)
         return res.smoothed_means, res.smoothed_covs

@@ -25,9 +25,12 @@ marginal log-likelihoods are then a batched elementwise pass over the
 Smoothing element per step t: the backward affine map ``(E_t, g_t, L_t)``
 with suffix combination — a reverse associative scan.
 
-Only linear emissions are supported here (all reference model families except
-the calibrated multicam path are linear); the extended filter falls back to
-``ops.kalman``.
+Nonlinear emissions are handled by :func:`ekf_parallel` /
+:func:`eks_parallel`: a fixed-point iteration that relinearizes the emission
+at the current predicted-mean trajectory and replays the linear parallel
+sweep — the fixed point of that iteration IS the sequential extended Kalman
+filter (same gains, same innovations), so parity with ``ops.kalman``'s
+``h_fn`` path holds at convergence while every sweep stays O(log T) deep.
 """
 
 from __future__ import annotations
@@ -41,7 +44,13 @@ from jax import lax, vmap
 from eks_tpu.ops.kalman import FilterResult, SmootherResult, _as_time_varying
 from eks_tpu.ops.linalg import highest_precision, mvn_logpdf, psd_solve, small_inv
 
-__all__ = ["kalman_filter_parallel", "kalman_smoother_parallel", "force_soa_scan"]
+__all__ = [
+    "kalman_filter_parallel",
+    "kalman_smoother_parallel",
+    "ekf_parallel",
+    "eks_parallel",
+    "force_soa_scan",
+]
 
 # The scalar-plane (SoA) layout wins big on TPU but loses on CPU, where XLA
 # vectorizes small (T, D, D) tensor batches well and the unrolled scalar
@@ -251,6 +260,34 @@ def _make_filter_elements(ys, m0, S0, A, Q, C, r) -> _FilterElementAoS:
     return _FilterElementAoS(A_all, b_all, C_all, eta_all, J_all)
 
 
+def _run_filter_prefix(elems: _FilterElementAoS):
+    """Prefix-combine filtering elements -> filtered (ms, Ps)."""
+    if _use_soa():
+        soa = _FilterElement(
+            _to_planes(elems.A),
+            _vec_to_planes(elems.b),
+            _to_planes(elems.C),
+            _vec_to_planes(elems.eta),
+            _to_planes(elems.J),
+        )
+        prefix = lax.associative_scan(_combine_filter, soa)
+        return _planes_to_vec(prefix.b), _planes_to_mat(prefix.C)
+    prefix = lax.associative_scan(_combine_filter_aos, elems)
+    return prefix.b, prefix.C
+
+
+def _predictive_moments(ms, Ps, m0, S0, A, Q):
+    """One-step-ahead predictive moments aligned with observations:
+    t=0 uses the prior, t>=1 predicts from the t-1 filtered moments."""
+    m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
+    P_prev = jnp.concatenate([S0[None], Ps[:-1]], axis=0)
+    pred_m = m_prev.at[1:].set(m_prev[1:] @ A.T)
+    pred_P = P_prev.at[1:].set(
+        jnp.einsum("ij,tjk,lk->til", A, P_prev[1:], A) + Q
+    )
+    return pred_m, pred_P
+
+
 @highest_precision
 def kalman_filter_parallel(
     ys: jnp.ndarray,  # (T, O)
@@ -266,29 +303,8 @@ def kalman_filter_parallel(
     r = _as_time_varying(r_diag, T)
 
     elems = _make_filter_elements(ys, m0, S0, A, Q, C, r)
-    if _use_soa():
-        soa = _FilterElement(
-            _to_planes(elems.A),
-            _vec_to_planes(elems.b),
-            _to_planes(elems.C),
-            _vec_to_planes(elems.eta),
-            _to_planes(elems.J),
-        )
-        prefix = lax.associative_scan(_combine_filter, soa)
-        ms = _planes_to_vec(prefix.b)  # (T, D)
-        Ps = _planes_to_mat(prefix.C)  # (T, D, D)
-    else:
-        prefix = lax.associative_scan(_combine_filter_aos, elems)
-        ms = prefix.b
-        Ps = prefix.C
-
-    # predictive moments: t=0 uses the prior, t>=1 predicts from t-1 filtered
-    m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
-    P_prev = jnp.concatenate([S0[None], Ps[:-1]], axis=0)
-    pred_m = m_prev.at[1:].set(m_prev[1:] @ A.T)
-    pred_P = P_prev.at[1:].set(
-        jnp.einsum("ij,tjk,lk->til", A, P_prev[1:], A) + Q
-    )
+    ms, Ps = _run_filter_prefix(elems)
+    pred_m, pred_P = _predictive_moments(ms, Ps, m0, S0, A, Q)
 
     def step_ll(y_t, r_t, mp, Pp):
         S = C @ Pp @ C.T + jnp.diag(r_t)
@@ -338,20 +354,11 @@ def _combine_smoother(later: _SmootherElement, earlier: _SmootherElement) -> _Sm
     return _SmootherElement(E, g, L)
 
 
-@highest_precision
-def kalman_smoother_parallel(
-    ys: jnp.ndarray,
-    m0: jnp.ndarray,
-    S0: jnp.ndarray,
-    A: jnp.ndarray,
-    Q: jnp.ndarray,
-    C: jnp.ndarray,
-    r_diag: jnp.ndarray,
-) -> SmootherResult:
-    """O(log T)-depth linear RTS smoother (filter + reverse associative scan)."""
-    fr = kalman_filter_parallel(ys, m0, S0, A, Q, C, r_diag)
-    ms, Ps = fr.filtered_means, fr.filtered_covs
-    T, dim = ms.shape
+def _rts_from_filtered(ms, Ps, A, Q):
+    """Backward RTS pass as a reverse associative scan over the filtered
+    moments; emission-independent, so linear and (iterated) extended filters
+    share it. Returns (smoothed means, smoothed covs)."""
+    dim = ms.shape[1]
 
     def make_elem(m_f, P_f):
         P_pred = A @ P_f @ A.T + Q
@@ -374,12 +381,134 @@ def kalman_smoother_parallel(
             ),
             reverse=True,
         )
-        sm, sP = _planes_to_vec(suffix.g), _planes_to_mat(suffix.L)
-    else:
-        suffix = lax.associative_scan(
-            _combine_smoother_aos,
-            _SmootherElementAoS(E_all, g_all, L_all),
-            reverse=True,
-        )
-        sm, sP = suffix.g, suffix.L
-    return SmootherResult(fr.log_likelihood, ms, Ps, sm, sP)
+        return _planes_to_vec(suffix.g), _planes_to_mat(suffix.L)
+    suffix = lax.associative_scan(
+        _combine_smoother_aos,
+        _SmootherElementAoS(E_all, g_all, L_all),
+        reverse=True,
+    )
+    return suffix.g, suffix.L
+
+
+@highest_precision
+def kalman_smoother_parallel(
+    ys: jnp.ndarray,
+    m0: jnp.ndarray,
+    S0: jnp.ndarray,
+    A: jnp.ndarray,
+    Q: jnp.ndarray,
+    C: jnp.ndarray,
+    r_diag: jnp.ndarray,
+) -> SmootherResult:
+    """O(log T)-depth linear RTS smoother (filter + reverse associative scan)."""
+    fr = kalman_filter_parallel(ys, m0, S0, A, Q, C, r_diag)
+    sm, sP = _rts_from_filtered(fr.filtered_means, fr.filtered_covs, A, Q)
+    return SmootherResult(
+        fr.log_likelihood, fr.filtered_means, fr.filtered_covs, sm, sP
+    )
+
+
+# --------------------------------------------------------------------------- #
+# iterated parallel EKF: nonlinear emissions at O(log T) depth
+# --------------------------------------------------------------------------- #
+def _make_filter_elements_tv(ys, m0, S0, A, Q, Cs, r) -> _FilterElementAoS:
+    """Filtering elements with a per-step emission matrix ``Cs`` (T, O, D) —
+    the relinearized form the iterated EKF feeds the linear prefix scan."""
+    dim = m0.shape[0]
+    eye = jnp.eye(dim, dtype=ys.dtype)
+
+    def generic(y_t, r_t, C_t):
+        CQ = C_t @ Q
+        CA = C_t @ A
+        S = CQ @ C_t.T + jnp.diag(r_t)
+        K = psd_solve(S, CQ).T  # (D, O) = Q C_tᵀ S⁻¹
+        IKC = eye - K @ C_t
+        return IKC @ A, K @ y_t, IKC @ Q, CA.T @ psd_solve(S, y_t), CA.T @ psd_solve(S, CA)
+
+    A_all, b_all, C_all, eta_all, J_all = vmap(generic)(ys, r, Cs)
+
+    # first element: assimilate y_0 against the prior, no transition
+    C0 = Cs[0]
+    S_0 = C0 @ S0 @ C0.T + jnp.diag(r[0])
+    K_0 = psd_solve(S_0, C0 @ S0).T
+    A_all = A_all.at[0].set(jnp.zeros((dim, dim), dtype=ys.dtype))
+    b_all = b_all.at[0].set(m0 + K_0 @ (ys[0] - C0 @ m0))
+    C_all = C_all.at[0].set((eye - K_0 @ C0) @ S0)
+    eta_all = eta_all.at[0].set(jnp.zeros((dim,), dtype=ys.dtype))
+    J_all = J_all.at[0].set(jnp.zeros((dim, dim), dtype=ys.dtype))
+    return _FilterElementAoS(A_all, b_all, C_all, eta_all, J_all)
+
+
+@highest_precision
+def ekf_parallel(
+    ys: jnp.ndarray,  # (T, O)
+    m0: jnp.ndarray,
+    S0: jnp.ndarray,
+    A: jnp.ndarray,
+    Q: jnp.ndarray,
+    h_fn,  # callable (D,) -> (O,)
+    r_diag: jnp.ndarray,
+    n_iters: int = 12,
+    x_init: jnp.ndarray | None = None,  # (T, D) nominal predicted means
+) -> FilterResult:
+    """Extended Kalman filter via fixed-point relinearization over parallel
+    linear sweeps.
+
+    Each iteration linearizes ``h`` at the current predicted-mean trajectory
+    ``x̄`` and replays the O(log T) linear filter on the affine surrogate
+    ``ỹ_t = y_t - h(x̄_t) + H_t x̄_t``; the updated predicted means become the
+    next ``x̄``. When ``x̄`` equals the filter's own predicted means the
+    recursion is EXACTLY the sequential EKF (``ops/kalman.py:81-95``, the
+    dynamax-parity path replacing eks/core.py:290-291), so the fixed point
+    reproduces it — at O(n_iters · log T) depth instead of O(T).
+    """
+    T = ys.shape[0]
+    r = _as_time_varying(r_diag, T)
+    jac = jax.jacfwd(h_fn)
+
+    def relinearized_moments(x_bar):
+        Hs = vmap(jac)(x_bar)  # (T, O, D)
+        y_eff = ys - vmap(h_fn)(x_bar) + jnp.einsum("tod,td->to", Hs, x_bar)
+        elems = _make_filter_elements_tv(y_eff, m0, S0, A, Q, Hs, r)
+        return _run_filter_prefix(elems)
+
+    if x_init is None:
+        x_init = jnp.broadcast_to(m0, (T, m0.shape[0]))
+
+    def body(_, x_bar):
+        ms, _ = relinearized_moments(x_bar)
+        return jnp.concatenate([m0[None], ms[:-1] @ A.T], axis=0)
+
+    x_bar = lax.fori_loop(0, n_iters, body, x_init)
+    ms, Ps = relinearized_moments(x_bar)
+
+    # exact EKF NLL: innovations against h at the final predicted trajectory
+    pred_m, pred_P = _predictive_moments(ms, Ps, m0, S0, A, Q)
+
+    def step_ll(y_t, r_t, mp, Pp):
+        H = jac(mp)
+        S = H @ Pp @ H.T + jnp.diag(r_t)
+        return mvn_logpdf(y_t, h_fn(mp), S)
+
+    ll = jnp.sum(vmap(step_ll)(ys, r, pred_m, pred_P))
+    return FilterResult(ll, ms, Ps)
+
+
+@highest_precision
+def eks_parallel(
+    ys: jnp.ndarray,
+    m0: jnp.ndarray,
+    S0: jnp.ndarray,
+    A: jnp.ndarray,
+    Q: jnp.ndarray,
+    h_fn,
+    r_diag: jnp.ndarray,
+    n_iters: int = 12,
+    x_init: jnp.ndarray | None = None,
+) -> SmootherResult:
+    """Iterated parallel EKF + the (emission-independent) parallel RTS pass."""
+    fr = ekf_parallel(ys, m0, S0, A, Q, h_fn, r_diag, n_iters=n_iters, x_init=x_init)
+    sm, sP = _rts_from_filtered(fr.filtered_means, fr.filtered_covs, A, Q)
+    return SmootherResult(
+        fr.log_likelihood, fr.filtered_means, fr.filtered_covs, sm, sP
+    )

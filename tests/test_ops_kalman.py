@@ -160,3 +160,107 @@ def test_nonlinear_emission_matches_linear():
     np.testing.assert_allclose(
         float(lin.log_likelihood), float(nonlin.log_likelihood), rtol=1e-6
     )
+
+
+# --------------------------------------------------------------------- #
+# iterated parallel EKF (nonlinear emissions at O(log T) depth)
+# --------------------------------------------------------------------- #
+def _nonlinear_problem(rng, T=300, D=3, O=4):
+    from eks_tpu.ops.pkalman import eks_parallel  # noqa: F401  (import check)
+
+    P1 = rng.normal(size=(2, D)) * 0.5
+    P2 = rng.normal(size=(2, D)) * 0.5
+
+    def h(x):
+        z1 = 2.0 + 0.1 * x[2]
+        z2 = 2.0 - 0.05 * x[0]
+        return jnp.concatenate([P1 @ x / z1, P2 @ x / z2])
+
+    A = 0.98 * np.eye(D)
+    Q = 0.05 * np.eye(D)
+    m0 = rng.normal(size=D) * 0.3
+    S0 = 0.5 * np.eye(D)
+    x = m0.copy()
+    xs = np.zeros((T, D))
+    for t in range(T):
+        x = A @ x + rng.normal(size=D) * np.sqrt(0.05)
+        xs[t] = x
+    ys = np.stack([np.asarray(h(jnp.asarray(v))) for v in xs])
+    ys += rng.normal(size=(T, O)) * 0.05
+    r = np.full((T, O), 0.05**2) * rng.uniform(0.5, 2.0, (T, O))
+    return h, ys, m0, S0, A, Q, r
+
+
+def test_iterated_parallel_ekf_matches_sequential(rng):
+    from eks_tpu.ops.pkalman import eks_parallel
+
+    h, ys, m0, S0, A, Q, r = _nonlinear_problem(rng)
+    args = [jnp.asarray(a, jnp.float32) for a in (ys, m0, S0, A, Q)]
+    rj = jnp.asarray(r, jnp.float32)
+    seq = kalman_smoother(*args, r_diag=rj, h_fn=h)
+    par = eks_parallel(*args, h, rj, n_iters=12)
+    np.testing.assert_allclose(
+        float(par.log_likelihood), float(seq.log_likelihood), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(par.filtered_means), np.asarray(seq.filtered_means), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(par.smoothed_means), np.asarray(seq.smoothed_means), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(par.smoothed_covs), np.asarray(seq.smoothed_covs), atol=1e-4
+    )
+
+
+def test_iterated_parallel_ekf_fly_calibration():
+    """VERDICT item 6 done-criterion: nonlinear smoother output matches the
+    sequential EKF at atol=1e-4 on real fly data with O(log T) depth."""
+    import os
+
+    import jax
+
+    from eks_tpu.core import ensemble
+    from eks_tpu.geometry.camera import CameraGroup, make_projection_from_camgroup
+    from eks_tpu.marker_array import input_dfs_to_markerArray
+    from eks_tpu.models.multicam import (
+        initialize_kalman_filter_geometric,
+        triangulate_3d_models,
+    )
+    from eks_tpu.ops.pkalman import eks_parallel
+    from eks_tpu.utils import format_data
+
+    data = "/root/reference/data/fly"
+    if not os.path.isdir(data):
+        pytest.skip("reference fly data missing")
+
+    camgroup = CameraGroup.load(f"{data}/calibration.toml")
+    cams = [c.name for c in camgroup.cameras]
+    dfs, kps = format_data(data, camera_names=cams)
+    ma = input_dfs_to_markerArray(dfs, kps, cams)
+    emA = ensemble(ma)
+    tri = triangulate_3d_models(ma, camgroup)  # (M, K, T, 3)
+    ys3d = tri.mean(axis=0)
+    m0s, S0s, As, Qs, _ = initialize_kalman_filter_geometric(ys3d)
+    h_fn, _ = make_projection_from_camgroup(camgroup)
+
+    # one keypoint, raw 2D obs stacked over views with ensemble-variance R
+    unsm = emA.slice_fields("x", "y").array[0]   # (C, T, K, 2)
+    evar = emA.slice_fields("var_x", "var_y").array[0]
+    k = 0
+    y = jnp.asarray(np.moveaxis(unsm[:, :, k], 0, 1).reshape(unsm.shape[1], -1))
+    r = jnp.asarray(
+        np.clip(np.moveaxis(evar[:, :, k], 0, 1).reshape(evar.shape[1], -1), 1e-12, None)
+    )
+    common = [jnp.asarray(a, jnp.float32) for a in (m0s[k], S0s[k], As[k], 2.0 * Qs[k])]
+    seq = kalman_smoother(y, *common, r_diag=r, h_fn=h_fn)
+    par = eks_parallel(y, *common, h_fn, r, n_iters=12)
+    np.testing.assert_allclose(
+        float(par.log_likelihood), float(seq.log_likelihood), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(par.smoothed_means), np.asarray(seq.smoothed_means), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(par.smoothed_covs), np.asarray(seq.smoothed_covs), atol=1e-4
+    )
