@@ -136,6 +136,16 @@ add_common_args = _builder(
     )),
 )
 
+add_devices = _builder(
+    (("--devices",), dict(
+        type=int, default=None,
+        help=(
+            "shard the keypoint axis over this many accelerator devices "
+            "(data parallelism over a 1-D mesh); default = single device"
+        ),
+    )),
+)
+
 add_bodyparts = _builder(
     (("--bodypart-list",), dict(
         nargs="+",

@@ -8,6 +8,7 @@ from pathlib import Path
 from eks_tpu.cli._utils import (
     add_bodyparts,
     add_common_args,
+    add_devices,
     add_s,
     handle_io,
     plot_results,
@@ -23,6 +24,7 @@ def register(subparsers: argparse._SubParsersAction) -> None:
     add_common_args(parser)
     add_bodyparts(parser)
     add_s(parser)
+    add_devices(parser)
     parser.set_defaults(handler=cmd_singlecam)
 
 
@@ -43,6 +45,7 @@ def cmd_singlecam(args: argparse.Namespace) -> None:
         smooth_param=args.s,
         s_frames=args.s_frames,
         blocks=args.blocks,
+        devices=args.devices,
     )
 
     if args.make_plot:

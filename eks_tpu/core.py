@@ -157,6 +157,27 @@ def _constant_r_from_vars(vars_t: np.ndarray, min_var: float = 1e-4) -> np.ndarr
     return np.clip(np.nanmedian(vars_t, axis=0), min_var, np.inf)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _device_constant_r(ev_kto: jnp.ndarray, min_var: float) -> jnp.ndarray:
+    """Device twin of :func:`_constant_r_from_vars` over (K, T, O)."""
+    floored = jnp.clip(ev_kto, 1e-12, None)
+    return jnp.clip(jnp.nanmedian(floored, axis=1), min_var, jnp.inf)
+
+
+@partial(jax.jit, static_argnums=())
+def _device_s_guesses(ev_tko: jnp.ndarray) -> jnp.ndarray:
+    """Device twin of :func:`compute_initial_guesses` for all K keypoints at
+    once: std of frame-to-frame variance diffs over the first 2000 frames,
+    rounded to 5 dp (reference: eks/core.py:104-133)."""
+    ev = ev_tko[:2000]
+    diffs = ev[1:] - ev[:-1]  # (T', K, O)
+    std = jnp.sqrt(jnp.nanmean(
+        (diffs - jnp.nanmean(diffs, axis=(0, 2), keepdims=True)) ** 2,
+        axis=(0, 2),
+    ))
+    return jnp.round(std * 1e5) / 1e5
+
+
 # --------------------------------------------------------------------------- #
 # the optimizer: one jitted padded-vmap program for any block structure
 # --------------------------------------------------------------------------- #
@@ -266,45 +287,64 @@ def optimize_smooth_param(
     min_R_var: float = 1e-4,
     h_fn: Optional[Callable] = None,
     sequential: bool = False,
+    mesh=None,
 ) -> np.ndarray:
-    """Optimize ``s`` per block; returns per-keypoint ``s_finals`` (K,)."""
+    """Optimize ``s`` per block; returns per-keypoint ``s_finals`` (K,).
+
+    With ``mesh`` (a 1-D jax.sharding.Mesh), the block axis is sharded over
+    the mesh devices — every other step is unchanged. ``ensemble_vars`` may
+    be a device array ((T, K, O) or pre-swapped (K, T, O)); without
+    ``s_frames`` the constant-R reduction then runs on device with no
+    host pull."""
     K = ys.shape[0]
     if not blocks:
         blocks = [[k] for k in range(K)]
     logger.debug(f"keypoint block structure for shared s: {blocks}")
 
-    # per-step variances with the R floor applied (eks/utils.py:373);
-    # ensemble_vars always arrives host-side
-    vars_np = np.clip(np.swapaxes(np.asarray(ensemble_vars), 0, 1), 1e-12, None)
-
-    if s_frames:
-        # host-side cropping path. IMPORTANT: pass ys as a HOST array when
-        # using s_frames — device->host pulls over a remote-attached TPU are
-        # catastrophically slow (minutes-scale stalls observed).
-        ys_np = np.asarray(ys)
-        y_cropped, r_const = [], []
-        for k in range(K):
-            y_cropped.append(crop_frames(ys_np[k], s_frames))
-            r_const.append(
-                _constant_r_from_vars(
-                    crop_frames(vars_np[k], s_frames), min_var=min_R_var
-                )
-            )
-        y_cropped = np.stack(y_cropped)  # (K, T', O)
-        r_const = np.stack(r_const)  # (K, O)
-    else:
-        # no cropping: never touch ys on the host (it may be device-resident)
+    on_device = isinstance(ensemble_vars, jnp.ndarray) and not s_frames and mesh is None
+    if on_device:
+        # device-resident prep: median over time of the floored variances,
+        # never pulling the (T, K, O) block to host
+        ev = ensemble_vars
+        if ev.shape[0] != K:
+            ev = jnp.swapaxes(ev, 0, 1)  # -> (K, T, O)
         y_cropped = ys
-        r_const = np.clip(
-            np.nanmedian(vars_np, axis=1), min_R_var, np.inf
-        )  # (K, O)
+        r_const = _device_constant_r(ev, float(min_R_var))
+    else:
+        # per-step variances with the R floor applied (eks/utils.py:373)
+        vars_np = np.clip(
+            np.swapaxes(np.asarray(ensemble_vars), 0, 1), 1e-12, None
+        )
+        if s_frames:
+            # host-side cropping path. IMPORTANT: pass ys as a HOST array when
+            # using s_frames — device->host pulls over a remote-attached TPU
+            # are catastrophically slow (minutes-scale stalls observed).
+            ys_np = np.asarray(ys)
+            y_cropped, r_const = [], []
+            for k in range(K):
+                y_cropped.append(crop_frames(ys_np[k], s_frames))
+                r_const.append(
+                    _constant_r_from_vars(
+                        crop_frames(vars_np[k], s_frames), min_var=min_R_var
+                    )
+                )
+            y_cropped = np.stack(y_cropped)  # (K, T', O)
+            r_const = np.stack(r_const)  # (K, O)
+        else:
+            y_cropped = ys
+            r_const = np.clip(
+                np.nanmedian(vars_np, axis=1), min_R_var, np.inf
+            )  # (K, O)
 
     # pad blocks to a rectangle; padding lanes reuse member 0 with zero mask
     b_max = max(len(b) for b in blocks)
     n_blocks = len(blocks)
+    # f64 host-side; jnp canonicalization downcasts to f32 unless the caller
+    # runs under enable_x64 (then the whole program, Adam state included,
+    # stays f64 — dtype-homogeneous either way)
     idx = np.zeros((n_blocks, b_max), dtype=int)
-    mask = np.zeros((n_blocks, b_max), dtype=np.float32)
-    s_log_init = np.zeros(n_blocks, dtype=np.float32)
+    mask = np.zeros((n_blocks, b_max), dtype=np.float64)
+    s_log_init = np.zeros(n_blocks, dtype=np.float64)
     for i, b in enumerate(blocks):
         idx[i, : len(b)] = b
         idx[i, len(b):] = b[0]
@@ -312,23 +352,30 @@ def optimize_smooth_param(
         s0 = float(np.mean([s_guess_per_k[k] for k in b]))
         s_log_init[i] = np.log(np.clip(s0, 1e-6, 1e3))
 
-    # gather block members; device arrays are gathered on device (no pull)
+    # gather block members; device arrays are gathered on device (no pull).
+    # With a mesh the gather stays host-side: the upload happens once, sharded
+    # straight onto the mesh devices (never through the default backend).
     def gather(a):
+        if mesh is not None:
+            return np.asarray(a)[idx]
         if isinstance(a, jnp.ndarray):
             return a[jnp.asarray(idx)]
         return jnp.asarray(np.asarray(a)[idx])
 
+    operands = [
+        gather(y_cropped), gather(r_const), gather(m0s), gather(S0s),
+        gather(As), gather(Qs), gather(Cs), mask, s_log_init,
+    ]
+    if mesh is not None:
+        from eks_tpu.parallel.mesh import pad_and_shard_leading
+
+        operands, _ = pad_and_shard_leading(mesh, operands)
+    else:
+        operands[-2:] = [jnp.asarray(mask), jnp.asarray(s_log_init)]
+
     s_lo, s_hi = s_bounds_log
     s_log_f, last_loss, iters = _optimize_blocks(
-        gather(y_cropped),
-        gather(r_const),
-        gather(m0s),
-        gather(S0s),
-        gather(As),
-        gather(Qs),
-        gather(Cs),
-        jnp.asarray(mask),
-        jnp.asarray(s_log_init),
+        *operands,
         h_fn=h_fn,
         sequential=sequential,
         lr=float(lr),
@@ -338,7 +385,7 @@ def optimize_smooth_param(
         safety_cap=int(safety_cap),
     )
 
-    s_log_f = np.asarray(s_log_f)
+    s_log_f = np.asarray(s_log_f)[:n_blocks]
     last_loss = np.asarray(last_loss)
     iters = np.asarray(iters)
     s_finals = np.empty(K, dtype=float)
@@ -388,6 +435,7 @@ def run_kalman_smoother(
     safety_cap: int = 300,
     h_fn: Optional[Callable] = None,
     sequential: bool = False,
+    devices: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Tune ``s`` (unless given) and run the final smoother for K keypoints.
 
@@ -395,17 +443,56 @@ def run_kalman_smoother(
         ``x_{t+1} = A x_t + w_t``, ``y_t = C x_t + v_t``,
         ``w ~ N(0, s Q)``, ``v_t ~ N(0, diag(ensemble_vars[t]))``.
 
+    ``devices`` > 1 shards the keypoint/block axis of both the optimizer and
+    the final pass over a 1-D device mesh (data parallelism; the reference
+    has no multi-device story at all — SURVEY.md §2.3).
+
     Returns:
         s_finals (K,), smoothed means (K, T, D), smoothed covs (K, T, D, D).
     """
     K, T, _ = ys.shape
 
-    # initial s guesses per keypoint (host; cheap)
-    ev = np.asarray(ensemble_vars)
-    s_guess = np.empty(K, dtype=float)
-    for k in range(K):
-        g = float(compute_initial_guesses(ev[:, k, :]) or 2.0)
-        s_guess[k] = g if (np.isfinite(g) and g > 0.0) else 2.0
+    mesh = None
+    if devices is not None and devices > 1:
+        from eks_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices)
+        logger.info(f"keypoint-axis data parallelism over {devices} devices")
+        # SPMD-partitioning a pallas_call is not supported on this path; the
+        # XLA associative scan partitions cleanly, so pin it under a mesh
+        from eks_tpu.ops.pallas_filter import force_pallas_scan
+
+        with force_pallas_scan(False):
+            return _run_kalman_smoother_impl(
+                ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
+                smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,
+                h_fn, sequential, mesh,
+            )
+    return _run_kalman_smoother_impl(
+        ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames, smooth_param,
+        blocks, lr, s_bounds_log, tol, safety_cap, h_fn, sequential, mesh,
+    )
+
+
+def _run_kalman_smoother_impl(
+    ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames, smooth_param, blocks,
+    lr, s_bounds_log, tol, safety_cap, h_fn, sequential, mesh,
+):
+    K, T, _ = ys.shape
+
+    on_device = isinstance(ensemble_vars, jnp.ndarray)
+    if on_device:
+        # device prep: only the K initial guesses come back to host (tiny)
+        ev = ensemble_vars  # (T, K, O), device
+        g = np.asarray(_device_s_guesses(ev))
+        s_guess = np.where(np.isfinite(g) & (g > 0.0), g, 2.0)
+    else:
+        # initial s guesses per keypoint (host; cheap)
+        ev = np.asarray(ensemble_vars)
+        s_guess = np.empty(K, dtype=float)
+        for k in range(K):
+            g = float(compute_initial_guesses(ev[:, k, :]) or 2.0)
+            s_guess[k] = g if (np.isfinite(g) and g > 0.0) else 2.0
 
     if smooth_param is not None:
         s_finals = np.empty(K, dtype=float)
@@ -432,6 +519,7 @@ def run_kalman_smoother(
             safety_cap=safety_cap,
             h_fn=h_fn,
             sequential=sequential,
+            mesh=mesh,
         )
         logger.debug(
             f"[timing]   optimize_smooth_param: {time.perf_counter() - _t0:.3f}s"
@@ -439,21 +527,26 @@ def run_kalman_smoother(
 
     _t0 = time.perf_counter()
     # time-varying diagonal R from ensemble variances, floored at 1e-12
-    rs = jnp.asarray(np.clip(np.swapaxes(ev, 0, 1), 1e-12, None))  # (K, T, O)
-    ms, Vs = _smooth_all(
-        jnp.asarray(ys),
-        jnp.asarray(m0s),
-        jnp.asarray(S0s),
-        jnp.asarray(As),
-        jnp.asarray(Qs),
-        jnp.asarray(Cs),
-        jnp.asarray(s_finals, dtype=rs.dtype),
-        rs,
-        h_fn=h_fn,
-        sequential=sequential,
-    )
+    if on_device:
+        rs = jnp.clip(jnp.swapaxes(ev, 0, 1), 1e-12, None)  # (K, T, O)
+    else:
+        rs = np.clip(np.swapaxes(ev, 0, 1), 1e-12, None)
+    operands = [ys, m0s, S0s, As, Qs, Cs, s_finals, rs]
+    if mesh is not None:
+        # host -> mesh devices directly; never through the default backend
+        from eks_tpu.parallel.mesh import pad_and_shard_leading
+
+        operands, _ = pad_and_shard_leading(mesh, operands)
+        dt = operands[-1].dtype
+        operands[-2] = operands[-2].astype(dt)
+    else:
+        rs = jnp.asarray(rs)
+        operands = [jnp.asarray(a) for a in operands[:6]] + [
+            jnp.asarray(s_finals, dtype=rs.dtype), rs,
+        ]
+    ms, Vs = _smooth_all(*operands, h_fn=h_fn, sequential=sequential)
     logger.debug(
         f"[timing]   final smoother pass ({K} keypoints): "
         f"{time.perf_counter() - _t0:.3f}s"
     )
-    return s_finals, np.asarray(ms), np.asarray(Vs)
+    return s_finals, np.asarray(ms)[:K], np.asarray(Vs)[:K]

@@ -348,14 +348,15 @@ def pupil_optimize_smooth(
     else:
         y_loss, r_loss = ys_np, vars_np
 
-    s0 = np.array([0.99, 0.98], dtype=np.float32)
+    # f64 host-side; canonicalization downcasts to f32 unless enable_x64
+    s0 = np.array([0.99, 0.98], dtype=np.float64)
     u0 = np.log(s0 / (1.0 - s0))
     s_opt, last_loss, iters = _pupil_optimize_jit(
         jnp.asarray(y_loss), jnp.asarray(r_loss),
         jnp.asarray(m0), jnp.asarray(S0), jnp.asarray(C), jnp.asarray(u0),
-        diameters_var=jnp.float32(diameters_var),
-        x_var=jnp.float32(x_var),
-        y_var=jnp.float32(y_var),
+        diameters_var=jnp.asarray(diameters_var),
+        x_var=jnp.asarray(x_var),
+        y_var=jnp.asarray(y_var),
         lr=float(lr), tol=float(tol), safety_cap=int(safety_cap),
     )
     s_opt = np.asarray(s_opt)

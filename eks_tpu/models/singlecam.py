@@ -14,15 +14,17 @@ from __future__ import annotations
 
 import logging
 import os
+from functools import partial
 from typing import Literal
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from eks_tpu.core import ensemble, run_kalman_smoother
+from eks_tpu.core import _ensemble_kernel, run_kalman_smoother
 from eks_tpu.marker_array import MarkerArray, input_dfs_to_markerArray
-from eks_tpu.utils import center_predictions, format_data, make_dlc_pandas_index
+from eks_tpu.utils import format_data, make_dlc_pandas_index
 
 logger = logging.getLogger(__name__)
 
@@ -54,6 +56,7 @@ def fit_eks_singlecam(
     blocks: list = [],
     avg_mode: Literal["mean", "median"] = "median",
     var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    devices: int | None = None,
 ) -> tuple:
     """Load ensemble CSVs, run the single-camera smoother, save the result.
 
@@ -68,6 +71,8 @@ def fit_eks_singlecam(
             only; final smoothing always covers all frames.
         blocks: groups of keypoint indices sharing one ``s``.
         avg_mode / var_mode: ensemble consensus and variance modes.
+        devices: shard the keypoint axis over this many devices (data
+            parallelism via a 1-D mesh); None/1 = single device.
 
     Returns:
         (df_smoothed, s_finals, input_dfs_list, bodypart_list)
@@ -86,6 +91,7 @@ def fit_eks_singlecam(
         blocks=blocks,
         avg_mode=avg_mode,
         var_mode=var_mode,
+        devices=devices,
     )
 
     save_dir = os.path.dirname(save_file)
@@ -104,8 +110,14 @@ def ensemble_kalman_smoother_singlecam(
     blocks: list = [],
     avg_mode: Literal["mean", "median"] = "median",
     var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    devices: int | None = None,
 ) -> tuple:
     """Array-level single-camera smoother.
+
+    The prep (ensemble stats, centering, KF init) is ONE fused device kernel;
+    raw predictions are uploaded once and the ensemble summary comes back to
+    host only for output packaging — the optimizer and smoother consume
+    device-resident arrays directly (no host round-trip between stages).
 
     Args:
         marker_array: (n_models, 1, T, K, 3) with fields [x, y, likelihood].
@@ -113,38 +125,51 @@ def ensemble_kalman_smoother_singlecam(
     Returns:
         (markers_df, s_finals) — DataFrame with 9 labels per keypoint.
     """
-    _, _, n_frames, n_keypoints, _ = marker_array.shape
+    n_models, _, n_frames, n_keypoints, _ = marker_array.shape
 
-    emA = ensemble(marker_array, avg_mode=avg_mode, var_mode=var_mode)
-    # ensemble consensus/vars/likes as (T, K, ...) arrays
-    ens_preds = emA.slice_fields("x", "y").array[0, 0]  # (T, K, 2)
-    ens_vars = emA.slice_fields("var_x", "var_y").array[0, 0]  # (T, K, 2)
-    ens_likes = emA.slice_fields("likelihood").array[0, 0, :, :, 0]  # (T, K)
+    arr = np.asarray(marker_array.array)  # (M, 1, T, K, 3) host
+    stats, ys_dev, means_dev, S0s_dev = _prep_singlecam(
+        jnp.asarray(arr[:, 0, :, :, 0]),
+        jnp.asarray(arr[:, 0, :, :, 1]),
+        jnp.asarray(arr[:, 0, :, :, 2]),
+        n_models, avg_mode, var_mode,
+    )
 
-    # center (quantile=100: no frame filtering, pure mean subtraction)
-    _, emA_centered, _, emA_means = center_predictions(emA, quantile_keep_pca=100)
-    centered = emA_centered.array[0, 0]  # (T, K, 2)
-    means = emA_means.array[0, 0, 0]  # (K, 2)
+    eye = np.tile(np.eye(2), (n_keypoints, 1, 1))
+    m0s = np.zeros((n_keypoints, 2))
 
-    ys = np.transpose(centered, (1, 0, 2))  # (K, T, 2)
-    m0s, S0s, As, Qs, Cs = initialize_kalman_filter(emA_centered)
+    if s_frames:
+        # loss-frame cropping happens host-side; pull the prep results early
+        ys = np.asarray(ys_dev)
+        ens_vars_in = np.asarray(stats)[..., 2:4]
+        S0s = np.asarray(S0s_dev)
+    else:
+        ys, ens_vars_in, S0s = ys_dev, stats[..., 2:4], S0s_dev
 
     s_finals, ms, Vs = run_kalman_smoother(
-        ys=ys,  # host array: core crops host-side and uploads once
+        ys=ys,
         m0s=m0s,
         S0s=S0s,
-        As=As,
-        Cs=Cs,
-        Qs=Qs,
-        ensemble_vars=ens_vars,  # (T, K, 2)
+        As=eye,
+        Cs=eye,
+        Qs=eye,
+        ensemble_vars=ens_vars_in,  # (T, K, 2)
         s_frames=s_frames,
         smooth_param=smooth_param,
         blocks=blocks,
+        devices=devices,
     )
+
+    # one host pull of the ensemble summary for output packaging
+    stats_np = np.asarray(stats)
+    ens_preds = stats_np[..., :2]  # (T, K, 2)
+    ens_vars = stats_np[..., 2:4]
+    ens_likes = stats_np[..., 4]  # (T, K)
+    means = np.asarray(means_dev)  # (K, 2)
 
     # reproject to observation space: y = C m, var = diag(C V Cᵀ); C = I here
     # but keep the general form for parity with arbitrary C
-    Cs_np = np.asarray(Cs)  # (K, 2, 2)
+    Cs_np = eye  # (K, 2, 2)
     y_m = np.einsum("kij,ktj->kti", Cs_np, ms)  # (K, T, 2)
     y_v = np.einsum("kij,ktjl,kml->ktim", Cs_np, Vs, Cs_np)  # (K, T, 2, 2)
 
@@ -170,6 +195,29 @@ def ensemble_kalman_smoother_singlecam(
         final.reshape(n_frames, n_keypoints * len(OUTPUT_LABELS)), columns=pdindex
     )
     return markers_df, s_finals
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _prep_singlecam(data_x, data_y, data_lh, n_models, avg_mode, var_mode):
+    """Fused device prep: ensemble stats + quantile-100 centering + KF init.
+
+    Inputs are the raw (M, T, K) prediction planes; returns
+    (stats (T, K, 5), ys (K, T, 2), means (K, 2), S0s (K, 2, 2)) — all
+    device-resident. Semantics identical to ensemble() +
+    center_predictions(quantile=100) + initialize_kalman_filter
+    (reference: eks/singlecam_smoother.py:105-284), with zero intermediate
+    host transfers.
+    """
+    stats = _ensemble_kernel(
+        data_x, data_y, data_lh, n_models, avg_mode, var_mode, 1000.0
+    )  # (T, K, 5)
+    preds = stats[..., :2]
+    means = jnp.mean(preds, axis=0)  # (K, 2); quantile=100 keeps every frame
+    centered = preds - means
+    ys = jnp.transpose(centered, (1, 0, 2))  # (K, T, 2)
+    var_xy = jnp.nanvar(centered, axis=0)  # (K, 2)
+    S0s = var_xy[:, :, None] * jnp.eye(2, dtype=var_xy.dtype)
+    return stats, ys, means, S0s
 
 
 def initialize_kalman_filter(emA_centered_preds: MarkerArray) -> tuple:

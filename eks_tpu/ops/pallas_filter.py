@@ -1,34 +1,32 @@
-"""Pallas TPU kernel: fused parallel-prefix Kalman filter (D = 2).
+"""Pallas TPU kernels: fused parallel-prefix Kalman filter AND smoother.
 
-One kernel per keypoint lane computes the full filtering pass — element
-construction, prefix combination, and per-step NLL — entirely in VMEM,
-eliminating the inter-level HBM traffic and relayouts of the XLA
-``lax.associative_scan`` lowering.
+One kernel per lane computes a full prefix/suffix combination pass entirely
+in VMEM, eliminating the inter-level HBM traffic and relayouts of the XLA
+``lax.associative_scan`` lowering. Generic over the state dimension
+(D <= 3 covers every model family: singlecam D=2, multicam latent D=3,
+pupil D=3) and over the combine algebra, so the SAME kernel factory serves:
 
-Algorithm: Särkkä & García-Fernández filtering elements
-``(A, b, C, eta, J)`` (see ops/pkalman.py) combined with a two-level
-chunked scan laid out for the VPU:
+  * the forward filter scan (Särkkä & García-Fernández elements
+    ``(A, b, C, eta, J)`` — 3D² + 2D scalar planes),
+  * the backward RTS smoother scan (elements ``(E, g, L)`` — 2D² + D
+    planes, combined in reversed time order),
+  * the forward-mode derivative of either: a ``custom_jvp`` runs the same
+    kernel on paired (primal, tangent) planes with the JVP-extended combine
+    — which is associative because it is the differential of an associative
+    op. This is what lets the s-optimizer (``core._optimize_blocks``, which
+    differentiates the NLL with ``jax.jvp``) consume the fused kernel.
 
-  * the time axis is reshaped to (L, NC) with NC = 128 contiguous chunks on
-    the lane axis and L = T / NC steps on the sublane axis;
-  * phase 1: a sequential ``fori_loop`` over L rows combines a running
-    per-chunk carry (128 independent prefixes at once) and stores the
-    inclusive within-chunk prefix;
-  * phase 2: the 128 chunk aggregates are combined into exclusive
-    chunk-prefixes with a log2(128)-step shift-and-combine sweep
-    (``pltpu.roll`` + identity masking);
-  * phase 3: one vectorized pass folds the exclusive chunk prefix into every
-    stored within-chunk prefix.
+Layout: the time axis is reshaped to (L, NC) with NC = 128 contiguous chunks
+on the lane axis; phase 1 runs a sequential ``fori_loop`` over L rows
+combining 128 independent prefixes at once, phase 2 combines the 128 chunk
+totals with a log2(128)-step shift-and-combine sweep (``pltpu.roll`` +
+identity masking), phase 3 folds the exclusive chunk prefixes back into the
+stored partials.
 
-The observation model is the singlecam family's (D = O = 2, diagonal R);
-the general path stays in ops/pkalman.py. ``kalman_filter_pallas`` matches
-``kalman_filter_parallel`` to float32 roundoff; parity is enforced in
-tests/test_pallas_filter.py (interpret mode on CPU, compiled on TPU).
-
-Note on expectations: at bundled-workload sizes the XLA scan already runs in
-tens of microseconds and end-to-end time is host-transfer-bound, so this
-kernel is about keeping the hot op at speed-of-light for large T and about
-owning the kernel layer, not about end-to-end wins at T = 10k.
+Dispatch: ``ops/pkalman.py`` routes its prefix scans here automatically on
+the TPU backend (see ``force_pallas_scan`` to pin either way); CPU tests
+exercise the kernels in interpret mode. Replaces the reference's sequential
+dynamax scan hot loop (eks/core.py:290-291,469,648).
 """
 
 from __future__ import annotations
@@ -40,152 +38,204 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from eks_tpu.ops.kalman import FilterResult, _as_time_varying
+from eks_tpu.ops.kalman import FilterResult, SmootherResult, _as_time_varying
 from eks_tpu.ops.linalg import highest_precision, mvn_logpdf
 
-__all__ = ["kalman_filter_pallas"]
+__all__ = [
+    "kalman_filter_pallas",
+    "kalman_smoother_pallas",
+    "filter_prefix_pallas",
+    "smoother_suffix_pallas",
+    "force_pallas_scan",
+]
 
 NC = 128  # chunks = TPU lane width
 
-# element planes: A(4) b(2) C(4) eta(2) J(4) = 16 per-step scalars
-_N_PLANES = 16
+
+# --------------------------------------------------------------------------- #
+# dispatch control
+# --------------------------------------------------------------------------- #
+_FORCE_PALLAS: bool | None = None
 
 
-def _combine(p1, p2):
-    """Combine two filtering elements held as 16-tuples of equal-shape
-    arrays; p1 precedes p2 in time. Closed-form D=2 algebra, elementwise."""
-    a1_00, a1_01, a1_10, a1_11, b1_0, b1_1, c1_00, c1_01, c1_10, c1_11, n1_0, n1_1, j1_00, j1_01, j1_10, j1_11 = p1
-    a2_00, a2_01, a2_10, a2_11, b2_0, b2_1, c2_00, c2_01, c2_10, c2_11, n2_0, n2_1, j2_00, j2_01, j2_10, j2_11 = p2
-
-    # M = I + C1 @ J2 ; Z = M^{-1}
-    m00 = 1.0 + c1_00 * j2_00 + c1_01 * j2_10
-    m01 = c1_00 * j2_01 + c1_01 * j2_11
-    m10 = c1_10 * j2_00 + c1_11 * j2_10
-    m11 = 1.0 + c1_10 * j2_01 + c1_11 * j2_11
-    inv_det = 1.0 / (m00 * m11 - m01 * m10)
-    z00 = m11 * inv_det
-    z01 = -m01 * inv_det
-    z10 = -m10 * inv_det
-    z11 = m00 * inv_det
-
-    # A2Z = A2 @ Z
-    a2z00 = a2_00 * z00 + a2_01 * z10
-    a2z01 = a2_00 * z01 + a2_01 * z11
-    a2z10 = a2_10 * z00 + a2_11 * z10
-    a2z11 = a2_10 * z01 + a2_11 * z11
-
-    # A = A2Z @ A1
-    A00 = a2z00 * a1_00 + a2z01 * a1_10
-    A01 = a2z00 * a1_01 + a2z01 * a1_11
-    A10 = a2z10 * a1_00 + a2z11 * a1_10
-    A11 = a2z10 * a1_01 + a2z11 * a1_11
-
-    # b = A2Z @ (b1 + C1 @ eta2) + b2
-    t0 = b1_0 + c1_00 * n2_0 + c1_01 * n2_1
-    t1 = b1_1 + c1_10 * n2_0 + c1_11 * n2_1
-    B0 = a2z00 * t0 + a2z01 * t1 + b2_0
-    B1 = a2z10 * t0 + a2z11 * t1 + b2_1
-
-    # C = A2Z @ C1 @ A2ᵀ + C2
-    w00 = a2z00 * c1_00 + a2z01 * c1_10
-    w01 = a2z00 * c1_01 + a2z01 * c1_11
-    w10 = a2z10 * c1_00 + a2z11 * c1_10
-    w11 = a2z10 * c1_01 + a2z11 * c1_11
-    C00 = w00 * a2_00 + w01 * a2_01 + c2_00
-    C01 = w00 * a2_10 + w01 * a2_11 + c2_01
-    C10 = w10 * a2_00 + w11 * a2_01 + c2_10
-    C11 = w10 * a2_10 + w11 * a2_11 + c2_11
-
-    # Zt = inv(I + J2 C1) = Zᵀ (C, J symmetric); A1tZt = A1ᵀ @ Zᵀ
-    u00 = a1_00 * z00 + a1_10 * z01
-    u01 = a1_00 * z10 + a1_10 * z11
-    u10 = a1_01 * z00 + a1_11 * z01
-    u11 = a1_01 * z10 + a1_11 * z11
-
-    # eta = A1tZt @ (eta2 - J2 @ b1) + eta1
-    s0 = n2_0 - (j2_00 * b1_0 + j2_01 * b1_1)
-    s1 = n2_1 - (j2_10 * b1_0 + j2_11 * b1_1)
-    N0 = u00 * s0 + u01 * s1 + n1_0
-    N1 = u10 * s0 + u11 * s1 + n1_1
-
-    # J = A1tZt @ J2 @ A1 + J1
-    v00 = u00 * j2_00 + u01 * j2_10
-    v01 = u00 * j2_01 + u01 * j2_11
-    v10 = u10 * j2_00 + u11 * j2_10
-    v11 = u10 * j2_01 + u11 * j2_11
-    J00 = v00 * a1_00 + v01 * a1_10 + j1_00
-    J01 = v00 * a1_01 + v01 * a1_11 + j1_01
-    J10 = v10 * a1_00 + v11 * a1_10 + j1_10
-    J11 = v10 * a1_01 + v11 * a1_11 + j1_11
-
-    return (A00, A01, A10, A11, B0, B1, C00, C01, C10, C11,
-            N0, N1, J00, J01, J10, J11)
+def _use_pallas(D: int) -> bool:
+    if _FORCE_PALLAS is not None:
+        return _FORCE_PALLAS and D <= 3
+    return jax.default_backend() == "tpu" and D <= 3
 
 
-def _identity_like(x):
-    one = jnp.ones_like(x)
-    zero = jnp.zeros_like(x)
-    # identity element of the combine: A = I, everything else 0
-    return (one, zero, zero, one, zero, zero, zero, zero, zero, zero,
-            zero, zero, zero, zero, zero, zero)
+class force_pallas_scan:
+    """Context manager pinning the fused-Pallas prefix scan on or off
+    regardless of backend (tests use it to exercise the kernel on CPU in
+    interpret mode)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _FORCE_PALLAS
+        self._prev = _FORCE_PALLAS
+        _FORCE_PALLAS = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_PALLAS
+        _FORCE_PALLAS = self._prev
+        return False
 
 
-def _scan_kernel(elems_ref, out_ref, partial_ref):
-    """Prefix-combine one lane's elements.
+# --------------------------------------------------------------------------- #
+# plane algebra: flatten / unflatten between (P,)-tuples of arrays and the
+# tuple-of-tuples structures ops/pkalman.py's combines operate on
+# --------------------------------------------------------------------------- #
+def _mat_planes(flat, off, d):
+    return tuple(tuple(flat[off + i * d + j] for j in range(d)) for i in range(d))
 
-    elems_ref / out_ref: (16, L, NC) VMEM blocks, [p, i, c] = plane p of the
-    element at time t = c * L + i.
-    """
-    L = elems_ref.shape[1]
 
-    # ---- phase 1: within-chunk inclusive prefix, 128 chunks at once -------
-    # all phase-1/2 values are kept (1, NC)-shaped: Mosaic has no 1-D vectors
-    def row(i):
-        return tuple(elems_ref[p, pl.ds(i, 1), :] for p in range(_N_PLANES))
+def _vec_planes(flat, off, d):
+    return tuple(flat[off + i] for i in range(d))
 
-    def body(i, carry):
-        new = _combine(carry, row(i))
-        for p in range(_N_PLANES):
-            partial_ref[p, pl.ds(i, 1), :] = new[p]
-        return new
 
-    carry = row(0)
-    for p in range(_N_PLANES):
-        partial_ref[p, 0:1, :] = carry[p]
-    totals = jax.lax.fori_loop(1, L, body, carry)
+def _filter_algebra(D: int):
+    """(combine, identity_vec, n_planes) for the filter element algebra."""
+    from eks_tpu.ops.pkalman import _combine_filter, _FilterElement
 
-    # ---- phase 2: exclusive prefix of the 128 chunk totals -----------------
-    # log-sweep: shift the (1, NC) vectors right by 2^k along lanes and
-    # combine, masking the wrapped entries to the identity
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
-    prefix = totals  # inclusive across chunks after the sweep
-    shift = 1
-    while shift < NC:
-        shifted = tuple(pltpu.roll(t, shift, 1) for t in prefix)
-        ident = _identity_like(prefix[0])
-        mask = idx >= shift
-        shifted = tuple(
-            jnp.where(mask, s, i) for s, i in zip(shifted, ident)
+    dd = D * D
+    n_planes = 3 * dd + 2 * D
+
+    def unflatten(flat):
+        return _FilterElement(
+            A=_mat_planes(flat, 0, D),
+            b=_vec_planes(flat, dd, D),
+            C=_mat_planes(flat, dd + D, D),
+            eta=_vec_planes(flat, 2 * dd + D, D),
+            J=_mat_planes(flat, 2 * dd + 2 * D, D),
         )
-        prefix = _combine(shifted, prefix)
-        shift *= 2
-    # exclusive: shift the inclusive prefix right by one chunk
-    excl = tuple(pltpu.roll(t, 1, 1) for t in prefix)
-    ident = _identity_like(prefix[0])
-    excl = tuple(jnp.where(idx >= 1, e, i) for e, i in zip(excl, ident))
 
-    # ---- phase 3: fold exclusive chunk prefixes into the stored partials ---
-    # (1, NC) exclusive prefixes broadcast against the (L, NC) partials
-    parts = tuple(partial_ref[p, :, :] for p in range(_N_PLANES))
-    final = _combine(excl, parts)
-    for p in range(_N_PLANES):
-        out_ref[p, :, :] = final[p]
+    def flatten(e):
+        out = []
+        out += [e.A[i][j] for i in range(D) for j in range(D)]
+        out += list(e.b)
+        out += [e.C[i][j] for i in range(D) for j in range(D)]
+        out += list(e.eta)
+        out += [e.J[i][j] for i in range(D) for j in range(D)]
+        return tuple(out)
+
+    def combine(f1, f2):
+        return flatten(_combine_filter(unflatten(f1), unflatten(f2)))
+
+    # identity of the combine: A = I, everything else 0
+    ident = [0.0] * n_planes
+    for i in range(D):
+        ident[i * D + i] = 1.0
+    return combine, tuple(ident), n_planes
 
 
-def _run_scan(elems, interpret=False):
-    """elems: (16, L, NC) -> inclusive prefix (16, L, NC)."""
+def _smoother_algebra(D: int):
+    """(combine, identity_vec, n_planes) for the RTS element algebra in
+    REVERSED time order: scanning z_i = elem_{T-1-i}, the suffix recursion is
+    ``S_i = combine_smoother(later=S_{i-1}, earlier=z_i)`` — associative
+    (reversed monoid composition)."""
+    from eks_tpu.ops.pkalman import _combine_smoother, _SmootherElement
+
+    dd = D * D
+    n_planes = 2 * dd + D
+
+    def unflatten(flat):
+        return _SmootherElement(
+            E=_mat_planes(flat, 0, D),
+            g=_vec_planes(flat, dd, D),
+            L=_mat_planes(flat, dd + D, D),
+        )
+
+    def flatten(e):
+        out = [e.E[i][j] for i in range(D) for j in range(D)]
+        out += list(e.g)
+        out += [e.L[i][j] for i in range(D) for j in range(D)]
+        return tuple(out)
+
+    def combine(f1, f2):
+        # f1 earlier in SCAN order == later in time
+        return flatten(_combine_smoother(unflatten(f1), unflatten(f2)))
+
+    ident = [0.0] * n_planes
+    for i in range(D):
+        ident[i * D + i] = 1.0  # E = I
+    return combine, tuple(ident), n_planes
+
+
+def _paired_algebra(combine, ident_vec):
+    """JVP-extend a flat combine: planes double to (primal..., tangent...);
+    the paired combine is the differential of the original, hence still
+    associative. Identity pairs the original identity with zero tangents."""
+    n = len(ident_vec)
+
+    def paired(f1, f2):
+        prim, tang = jax.jvp(
+            lambda a, b: combine(a, b), (f1[:n], f2[:n]), (f1[n:], f2[n:])
+        )
+        return (*prim, *tang)
+
+    return paired, (*ident_vec, *([0.0] * n)), 2 * n
+
+
+# --------------------------------------------------------------------------- #
+# the generic three-phase prefix kernel
+# --------------------------------------------------------------------------- #
+def _make_scan_kernel(n_planes: int, combine, ident_vec):
+    def identity_like(x):
+        return tuple(
+            jnp.full_like(x, v) if v != 0.0 else jnp.zeros_like(x)
+            for v in ident_vec
+        )
+
+    def kernel(elems_ref, out_ref, partial_ref):
+        L = elems_ref.shape[1]
+
+        # all phase-1/2 values stay (1, NC)-shaped: Mosaic has no 1-D vectors
+        def row(i):
+            return tuple(elems_ref[p, pl.ds(i, 1), :] for p in range(n_planes))
+
+        def body(i, carry):
+            new = combine(carry, row(i))
+            for p in range(n_planes):
+                partial_ref[p, pl.ds(i, 1), :] = new[p]
+            return new
+
+        carry = row(0)
+        for p in range(n_planes):
+            partial_ref[p, 0:1, :] = carry[p]
+        totals = jax.lax.fori_loop(1, L, body, carry)
+
+        # phase 2: exclusive prefix of the NC chunk totals (log shift-sweep)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, NC), 1)
+        prefix = totals
+        shift = 1
+        while shift < NC:
+            shifted = tuple(pltpu.roll(t, shift, 1) for t in prefix)
+            ident = identity_like(prefix[0])
+            mask = idx >= shift
+            shifted = tuple(
+                jnp.where(mask, s, i0) for s, i0 in zip(shifted, ident)
+            )
+            prefix = combine(shifted, prefix)
+            shift *= 2
+        excl = tuple(pltpu.roll(t, 1, 1) for t in prefix)
+        ident = identity_like(prefix[0])
+        excl = tuple(jnp.where(idx >= 1, e, i0) for e, i0 in zip(excl, ident))
+
+        # phase 3: fold exclusive chunk prefixes into the stored partials
+        parts = tuple(partial_ref[p, :, :] for p in range(n_planes))
+        final = combine(excl, parts)
+        for p in range(n_planes):
+            out_ref[p, :, :] = final[p]
+
+    return kernel
+
+
+def _run_kernel(kernel, elems, interpret):
     return pl.pallas_call(
-        _scan_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct(elems.shape, elems.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -194,64 +244,122 @@ def _run_scan(elems, interpret=False):
     )(elems)
 
 
+def _scan_planes(planes, kernel, ident_vec, interpret):
+    """(P, T) planes -> inclusive prefix (P, T), identity-padded to NC."""
+    P, T = planes.shape
+    Tp = -(-T // NC) * NC
+    if Tp != T:
+        pad = jnp.tile(
+            jnp.asarray(ident_vec, dtype=planes.dtype)[:, None], (1, Tp - T)
+        )
+        planes = jnp.concatenate([planes, pad], axis=1)
+    L = Tp // NC
+    # [p, t] -> [p, i, c] with t = c * L + i (chunk-contiguous layout)
+    elems = planes.reshape(P, NC, L).transpose(0, 2, 1)
+    out = _run_kernel(kernel, elems, interpret)
+    return out.transpose(0, 2, 1).reshape(P, Tp)[:, :T]
+
+
+# one differentiable scan fn per (algebra, D, interpret); the custom JVP
+# reruns the kernel on paired planes so jax.jvp through the filter works
+@functools.lru_cache(maxsize=None)
+def _scan_fn(kind: str, D: int, interpret: bool):
+    algebra = _filter_algebra if kind == "filter" else _smoother_algebra
+    combine, ident_vec, n_planes = algebra(D)
+    kernel = _make_scan_kernel(n_planes, combine, ident_vec)
+    pcombine, pident, _ = _paired_algebra(combine, ident_vec)
+    pkernel = _make_scan_kernel(2 * n_planes, pcombine, pident)
+
+    @jax.custom_jvp
+    def scan(planes):
+        return _scan_planes(planes, kernel, ident_vec, interpret)
+
+    @scan.defjvp
+    def scan_jvp(primals, tangents):
+        (p,), (dp,) = primals, tangents
+        paired = jnp.concatenate([p, dp], axis=0)
+        out = _scan_planes(paired, pkernel, pident, interpret)
+        return out[:n_planes], out[n_planes:]
+
+    return scan
+
+
+# --------------------------------------------------------------------------- #
+# element (AoS) <-> plane packing
+# --------------------------------------------------------------------------- #
+def _pack_filter_planes(e) -> jnp.ndarray:
+    """_FilterElementAoS (T-leading tensors) -> (P, T) scalar planes."""
+    T, D = e.b.shape
+    rows = (
+        [e.A[:, i, j] for i in range(D) for j in range(D)]
+        + [e.b[:, i] for i in range(D)]
+        + [e.C[:, i, j] for i in range(D) for j in range(D)]
+        + [e.eta[:, i] for i in range(D)]
+        + [e.J[:, i, j] for i in range(D) for j in range(D)]
+    )
+    return jnp.stack(rows)
+
+
+def filter_prefix_pallas(elems, interpret: bool = False):
+    """Prefix-combine filtering elements in one fused kernel.
+
+    elems: _FilterElementAoS with (T, D[, D]) leaves -> filtered (ms, Ps).
+    Differentiable via the paired-plane custom JVP.
+    """
+    T, D = elems.b.shape
+    planes = _pack_filter_planes(elems)
+    out = _scan_fn("filter", D, bool(interpret))(planes)
+    dd = D * D
+    ms = out[dd:dd + D].T  # b planes
+    Ps = out[dd + D:2 * dd + D].reshape(D, D, T).transpose(2, 0, 1)  # C planes
+    return ms, Ps
+
+
+def smoother_suffix_pallas(E_all, g_all, L_all, interpret: bool = False):
+    """Suffix-combine RTS smoothing elements in one fused kernel.
+
+    Inputs are (T, D, D)/(T, D) tensors in FORWARD time order; the kernel
+    scans them reversed (prefix over reversed time == suffix) and returns
+    (smoothed means (T, D), smoothed covs (T, D, D)).
+    """
+    T, D = g_all.shape
+    dd = D * D
+    rows = (
+        [E_all[::-1, i, j] for i in range(D) for j in range(D)]
+        + [g_all[::-1, i] for i in range(D)]
+        + [L_all[::-1, i, j] for i in range(D) for j in range(D)]
+    )
+    out = _scan_fn("smoother", D, bool(interpret))(jnp.stack(rows))
+    sm = out[dd:dd + D].T[::-1]
+    sP = out[dd + D:].reshape(D, D, T).transpose(2, 0, 1)[::-1]
+    return sm, sP
+
+
+# --------------------------------------------------------------------------- #
+# standalone fused filter/smoother entry points (tests, benchmarking)
+# --------------------------------------------------------------------------- #
 @functools.partial(jax.jit, static_argnames=("interpret",))
 @highest_precision
 def kalman_filter_pallas(
-    ys: jnp.ndarray,  # (T, 2)
-    m0: jnp.ndarray,  # (2,)
-    S0: jnp.ndarray,  # (2, 2)
-    A: jnp.ndarray,  # (2, 2)
-    Q: jnp.ndarray,  # (2, 2)
-    C: jnp.ndarray,  # (2, 2)
-    r_diag: jnp.ndarray,  # (T, 2) or (2,)
+    ys: jnp.ndarray,  # (T, O)
+    m0: jnp.ndarray,  # (D,)
+    S0: jnp.ndarray,
+    A: jnp.ndarray,
+    Q: jnp.ndarray,
+    C: jnp.ndarray,  # (O, D)
+    r_diag: jnp.ndarray,  # (T, O) or (O,)
     interpret: bool = False,
 ) -> FilterResult:
-    """D=2 linear Kalman filter with the prefix scan fused in one Pallas
-    kernel. T is padded up to a multiple of 128 internally."""
-    from eks_tpu.ops.pkalman import _make_filter_elements
+    """Linear Kalman filter with the prefix scan fused in one Pallas kernel
+    (D <= 3). T is padded up to a multiple of 128 internally."""
+    from eks_tpu.ops.pkalman import _make_filter_elements, _predictive_moments
 
     T = ys.shape[0]
     r = _as_time_varying(r_diag, T)
-    e = _make_filter_elements(ys, m0, S0, A, Q, C, r)
+    elems = _make_filter_elements(ys, m0, S0, A, Q, C, r)
+    ms, Ps = filter_prefix_pallas(elems, interpret=interpret)
 
-    # pack to (16, T) planes
-    planes = jnp.stack(
-        [
-            e.A[:, 0, 0], e.A[:, 0, 1], e.A[:, 1, 0], e.A[:, 1, 1],
-            e.b[:, 0], e.b[:, 1],
-            e.C[:, 0, 0], e.C[:, 0, 1], e.C[:, 1, 0], e.C[:, 1, 1],
-            e.eta[:, 0], e.eta[:, 1],
-            e.J[:, 0, 0], e.J[:, 0, 1], e.J[:, 1, 0], e.J[:, 1, 1],
-        ]
-    )
-
-    # pad T to a multiple of NC with identity elements (prefix-neutral)
-    Tp = -(-T // NC) * NC
-    if Tp != T:
-        pad = jnp.zeros((_N_PLANES, Tp - T), dtype=planes.dtype)
-        pad = pad.at[0].set(1.0).at[3].set(1.0)  # A = I
-        planes = jnp.concatenate([planes, pad], axis=1)
-    L = Tp // NC
-
-    # [p, t] -> [p, i, c] with t = c * L + i (chunk-contiguous layout)
-    elems = planes.reshape(_N_PLANES, NC, L).transpose(0, 2, 1)
-    prefix = _run_scan(elems, interpret=interpret)
-    planes_out = prefix.transpose(0, 2, 1).reshape(_N_PLANES, Tp)[:, :T]
-
-    ms = jnp.stack([planes_out[4], planes_out[5]], axis=-1)  # (T, 2)
-    Ps = jnp.stack(
-        [
-            jnp.stack([planes_out[6], planes_out[7]], axis=-1),
-            jnp.stack([planes_out[8], planes_out[9]], axis=-1),
-        ],
-        axis=-2,
-    )  # (T, 2, 2)
-
-    # NLL pass (same as ops/pkalman.py)
-    m_prev = jnp.concatenate([m0[None], ms[:-1]], axis=0)
-    P_prev = jnp.concatenate([S0[None], Ps[:-1]], axis=0)
-    pred_m = m_prev.at[1:].set(m_prev[1:] @ A.T)
-    pred_P = P_prev.at[1:].set(jnp.einsum("ij,tjk,lk->til", A, P_prev[1:], A) + Q)
+    pred_m, pred_P = _predictive_moments(ms, Ps, m0, S0, A, Q)
 
     def step_ll(y_t, r_t, mp, Pp):
         S = C @ Pp @ C.T + jnp.diag(r_t)
@@ -259,3 +367,28 @@ def kalman_filter_pallas(
 
     ll = jnp.sum(jax.vmap(step_ll)(ys, r, pred_m, pred_P))
     return FilterResult(ll, ms, Ps)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+@highest_precision
+def kalman_smoother_pallas(
+    ys: jnp.ndarray,
+    m0: jnp.ndarray,
+    S0: jnp.ndarray,
+    A: jnp.ndarray,
+    Q: jnp.ndarray,
+    C: jnp.ndarray,
+    r_diag: jnp.ndarray,
+    interpret: bool = False,
+) -> SmootherResult:
+    """Fused filter + fused backward RTS pass."""
+    from eks_tpu.ops.pkalman import _make_smoother_elements
+
+    fr = kalman_filter_pallas(ys, m0, S0, A, Q, C, r_diag, interpret=interpret)
+    E_all, g_all, L_all = _make_smoother_elements(
+        fr.filtered_means, fr.filtered_covs, A, Q
+    )
+    sm, sP = smoother_suffix_pallas(E_all, g_all, L_all, interpret=interpret)
+    return SmootherResult(
+        fr.log_likelihood, fr.filtered_means, fr.filtered_covs, sm, sP
+    )

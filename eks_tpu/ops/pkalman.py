@@ -261,7 +261,17 @@ def _make_filter_elements(ys, m0, S0, A, Q, C, r) -> _FilterElementAoS:
 
 
 def _run_filter_prefix(elems: _FilterElementAoS):
-    """Prefix-combine filtering elements -> filtered (ms, Ps)."""
+    """Prefix-combine filtering elements -> filtered (ms, Ps).
+
+    Dispatch: fused Pallas kernel on TPU (or when forced), else
+    ``lax.associative_scan`` in the backend-appropriate layout."""
+    from eks_tpu.ops.pallas_filter import _use_pallas, filter_prefix_pallas
+
+    D = elems.b.shape[-1]
+    if _use_pallas(D):
+        return filter_prefix_pallas(
+            elems, interpret=jax.default_backend() != "tpu"
+        )
     if _use_soa():
         soa = _FilterElement(
             _to_planes(elems.A),
@@ -354,10 +364,10 @@ def _combine_smoother(later: _SmootherElement, earlier: _SmootherElement) -> _Sm
     return _SmootherElement(E, g, L)
 
 
-def _rts_from_filtered(ms, Ps, A, Q):
-    """Backward RTS pass as a reverse associative scan over the filtered
-    moments; emission-independent, so linear and (iterated) extended filters
-    share it. Returns (smoothed means, smoothed covs)."""
+def _make_smoother_elements(ms, Ps, A, Q):
+    """RTS smoothing elements from filtered moments: per-step backward
+    affine-Gaussian maps (E, g, L); the final element carries the filtered
+    terminal moments."""
     dim = ms.shape[1]
 
     def make_elem(m_f, P_f):
@@ -368,10 +378,24 @@ def _rts_from_filtered(ms, Ps, A, Q):
         return E, g, L
 
     E_all, g_all, L_all = vmap(make_elem)(ms, Ps)
-    # final element carries the filtered terminal moments
     E_all = E_all.at[-1].set(jnp.zeros((dim, dim), dtype=ms.dtype))
     g_all = g_all.at[-1].set(ms[-1])
     L_all = L_all.at[-1].set(Ps[-1])
+    return E_all, g_all, L_all
+
+
+def _rts_from_filtered(ms, Ps, A, Q):
+    """Backward RTS pass as a reverse associative scan over the filtered
+    moments; emission-independent, so linear and (iterated) extended filters
+    share it. Returns (smoothed means, smoothed covs)."""
+    from eks_tpu.ops.pallas_filter import _use_pallas, smoother_suffix_pallas
+
+    E_all, g_all, L_all = _make_smoother_elements(ms, Ps, A, Q)
+    dim = ms.shape[1]
+    if _use_pallas(dim):
+        return smoother_suffix_pallas(
+            E_all, g_all, L_all, interpret=jax.default_backend() != "tpu"
+        )
 
     if _use_soa():
         suffix = lax.associative_scan(

@@ -28,6 +28,7 @@ from eks_tpu.core import _optimize_blocks, _smooth_all
 __all__ = [
     "make_mesh",
     "shard_leading",
+    "pad_and_shard_leading",
     "optimize_and_smooth_sharded",
     "smooth_time_sharded",
 ]
@@ -76,6 +77,27 @@ def shard_leading(mesh: Mesh, x, axis_name: str = "kp"):
     """
     sharding = NamedSharding(mesh, P(axis_name))
     return jax.device_put(np.asarray(x), sharding)
+
+
+def pad_and_shard_leading(
+    mesh: Mesh, operands: list, axis_name: str = "kp"
+) -> tuple[list, int]:
+    """Pad every operand's leading (batch) axis to a multiple of the mesh
+    size — replicating element 0, whose results callers slice away — and
+    device-put each one sharded over the mesh. This is the bridge
+    ``run_kalman_smoother(devices=N)`` uses to turn its vmapped programs into
+    SPMD programs without touching the kernels.
+
+    Returns (sharded operands, original leading length).
+    """
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_real = int(operands[0].shape[0])
+    out = []
+    for x in operands:
+        x_np = np.asarray(x)
+        x_pad, _ = _pad_leading(x_np, n_dev)
+        out.append(shard_leading(mesh, x_pad, axis_name))
+    return out, n_real
 
 
 def _replicate(mesh: Mesh, x):

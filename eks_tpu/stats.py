@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from eks_tpu.marker_array import MarkerArray, mA_to_stacked_array
+from eks_tpu.marker_array import MarkerArray
 from eks_tpu.ops.linalg import highest_precision
 
 __all__ = ["PCA", "compute_pca", "FactorAnalysis", "compute_mahalanobis"]
@@ -95,16 +95,28 @@ def compute_pca(
     n_models, n_cameras, n_frames, n_keypoints, _ = emA_centered_preds.shape
     assert n_models == 1, "Expected a post-ensemble MarkerArray (models axis already collapsed to 1)."
 
+    def _stacked_all_kp(ma: MarkerArray) -> np.ndarray:
+        # (1, C, T, K, 2) -> (K, T, 2C) with per-frame [cam0_xy, cam1_xy, ...]
+        arr = np.asarray(ma.array[0])
+        K, T = arr.shape[2], arr.shape[1]
+        return arr.transpose(2, 1, 0, 3).reshape(K, T, -1)
+
+    X_all = _stacked_all_kp(emA_centered_preds)  # (K, T, 2C)
+
     if pca_object is None:
         # one batched fit for all keypoints (equal n_good after truncation)
-        X_good = np.stack(
-            [
-                mA_to_stacked_array(emA_good_centered_preds.slice("keypoints", k), 0)
-                for k in range(n_keypoints)
-            ]
-        )  # (K, N_good, 2C)
+        X_good = _stacked_all_kp(emA_good_centered_preds)
         means, comps = _pca_fit_batched(jnp.asarray(X_good), n_components)
         means, comps = np.asarray(means), np.asarray(comps)
+    else:
+        means = np.broadcast_to(pca_object.mean_, (n_keypoints, X_all.shape[-1]))
+        comps = np.broadcast_to(
+            pca_object.components_,
+            (n_keypoints, *pca_object.components_.shape),
+        )
+
+    # one batched transform for every keypoint and frame at once
+    pcs_all = np.einsum("ktf,klf->ktl", X_all - means[:, None, :], comps)
 
     ensemble_pca, good_pcs_list = [], []
     for k in range(n_keypoints):
@@ -114,11 +126,8 @@ def compute_pca(
             pca_k.components_ = comps[k]
         else:
             pca_k = pca_object
-        X_all_k = mA_to_stacked_array(emA_centered_preds.slice("keypoints", k), 0)
-        pcs = pca_k.transform(X_all_k)
-        good_idx = np.where(valid_frames_mask[:, k])[0]
         ensemble_pca.append(pca_k)
-        good_pcs_list.append(pcs[good_idx])
+        good_pcs_list.append(pcs_all[k][valid_frames_mask[:, k]])
     return ensemble_pca, good_pcs_list
 
 

@@ -1,0 +1,157 @@
+"""Per-subcommand dispatch: every handler forwards its flags to its fit_*.
+
+The model layer is mocked out, so these tests pin only the argparse -> kwarg
+wiring (the reference's CLI tier does the same across all five commands)."""
+
+import sys
+from unittest import mock
+
+import pytest
+
+from eks_tpu.cli.main import main
+
+
+def _run(argv):
+    with mock.patch.object(sys, "argv", ["eks-tpu"] + argv):
+        main()
+
+
+def _capture(target, returns):
+    """Patch `target` with a recorder returning `returns`."""
+    seen = {}
+
+    def fake(**kwargs):
+        seen.update(kwargs)
+        return returns
+
+    return seen, mock.patch(target, side_effect=fake)
+
+
+DF = mock.MagicMock()
+
+
+def test_cmd_singlecam_forwards_args(tmp_path):
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_singlecam.fit_eks_singlecam", (DF, [1.0], [], ["bp"])
+    )
+    with patcher:
+        _run([
+            "singlecam",
+            "--input-dir", str(tmp_path),
+            "--save-dir", str(tmp_path),
+            "--save-filename", "out.csv",
+            "--s", "1.5", "2.5",
+            "--blocks", "0,1;2",
+            "--s-frames", "(0,100)",
+            "--bodypart-list", "nose", "paw",
+        ])
+    assert seen["input_source"] == str(tmp_path)
+    assert seen["save_file"] == str(tmp_path / "out.csv")
+    assert seen["smooth_param"] == [1.5, 2.5]
+    assert seen["blocks"] == [[0, 1], [2]]
+    assert seen["s_frames"] == [(0, 100)]
+    assert seen["bodypart_list"] == ["nose", "paw"]
+
+
+def test_cmd_multicam_forwards_args(tmp_path):
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_multicam.fit_eks_multicam",
+        ([DF], [1.0], [[]], ["bp"], DF),
+    )
+    with patcher:
+        _run([
+            "multicam",
+            "--input-dir", str(tmp_path),
+            "--save-dir", str(tmp_path),
+            "--camera-names", "top", "bot",
+            "--quantile-keep-pca", "80",
+            "--n-latent", "2",
+            "--no-inflate-vars",
+            "--s", "3.0",
+        ])
+    assert seen["camera_names"] == ["top", "bot"]
+    assert seen["quantile_keep_pca"] == 80
+    assert seen["n_latent"] == 2
+    assert seen["inflate_vars"] is False
+    assert seen["smooth_param"] == [3.0]
+    assert seen["calibration"] is None
+
+
+def test_cmd_multicam_calibration_exclusivity(tmp_path, caplog):
+    # no camera names and no calibration -> hard error
+    with pytest.raises(ValueError):
+        _run(["multicam", "--input-dir", str(tmp_path)])
+
+    # calibration + camera names -> warn, calibration wins
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_multicam.fit_eks_multicam",
+        ([DF], [1.0], [[]], ["bp"], DF),
+    )
+    with patcher, caplog.at_level("WARNING"):
+        _run([
+            "multicam",
+            "--input-dir", str(tmp_path),
+            "--camera-names", "a", "b",
+            "--calibration", str(tmp_path / "cal.toml"),
+        ])
+    assert seen["calibration"] == str(tmp_path / "cal.toml")
+    assert any("--calibration" in r.message for r in caplog.records)
+
+
+def test_cmd_mirrored_multicam_forwards_args(tmp_path):
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_mirrored_multicam.fit_eks_mirrored_multicam",
+        (DF, [1.0], [], ["bp"]),
+    )
+    with patcher:
+        _run([
+            "mirrored-multicam",
+            "--input-dir", str(tmp_path),
+            "--save-dir", str(tmp_path),
+            "--camera-names", "top", "bot",
+            "--quantile-keep-pca", "60",
+            "--n-latent", "3",
+        ])
+    assert seen["camera_names"] == ["top", "bot"]
+    assert seen["quantile_keep_pca"] == 60
+    assert seen["n_latent"] == 3
+    assert seen["inflate_vars"] is True  # default on
+    assert seen["save_file"] == str(tmp_path / "eks_mirrored_multicam.csv")
+
+
+def test_cmd_ibl_pupil_forwards_args(tmp_path):
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_ibl_pupil.fit_eks_pupil", (DF, (0.9, 0.9), [], ["kp"])
+    )
+    with patcher:
+        _run([
+            "ibl-pupil",
+            "--input-dir", str(tmp_path),
+            "--save-dir", str(tmp_path),
+            "--diameter-s", "0.99",
+            "--com-s", "0.98",
+            "--s-frames", "100",
+        ])
+    assert seen["smooth_params"] == [0.99, 0.98]
+    assert seen["s_frames"] == [(1, 100)]
+    assert seen["save_file"] == str(tmp_path / "eks_ibl_pupil.csv")
+
+
+def test_cmd_ibl_paw_forwards_args(tmp_path):
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_ibl_paw.fit_eks_multicam_ibl_paw",
+        ([DF], [1.0], [[]], ["paw_l"]),
+    )
+    with patcher:
+        _run([
+            "ibl-paw",
+            "--input-dir", str(tmp_path),
+            "--save-dir", str(tmp_path),
+            "--s", "4.0",
+            "--quantile-keep-pca", "70",
+            "--no-inflate-vars",
+        ])
+    assert seen["smooth_param"] == [4.0]
+    assert seen["quantile_keep_pca"] == 70
+    assert seen["inflate_vars"] is False
+    assert seen["var_mode"] == "var"  # paw family pins plain variance

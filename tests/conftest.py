@@ -31,6 +31,35 @@ def rng():
     return np.random.default_rng(0)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_cache_growth():
+    """Drop live executables between test modules.
+
+    A long single-process run accumulates XLA:CPU executables across ~200
+    jit signatures; past a threshold the NEXT LLVM compilation segfaults
+    (observed repeatedly at ~70-80% of the suite, always inside
+    backend_compile_and_load, at varying tests). Clearing per module bounds
+    the live set and keeps the documented single-process gate green.
+    """
+    yield
+    jax.clear_caches()
+
+
+def pytest_runtest_setup(item):
+    # optional RSS trace for diagnosing memory-correlated crashes:
+    #   EKS_TPU_RSS_LOG=/tmp/rss.log pytest tests/
+    path = os.environ.get("EKS_TPU_RSS_LOG")
+    if path:
+        try:
+            import resource
+
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            with open(path, "a") as f:
+                f.write(f"{rss}MB\t{item.nodeid}\n")
+        except Exception:
+            pass
+
+
 REFERENCE_DATA = "/root/reference/data"
 
 

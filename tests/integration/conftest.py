@@ -38,7 +38,10 @@ def golden(request):
         path = os.path.join(GOLDEN_DIR, f"{name}.csv")
         if generate:
             os.makedirs(GOLDEN_DIR, exist_ok=True)
-            df.to_csv(path)
+            # %.17g round-trips float64 exactly; the default shortest-repr
+            # formatting of float32 columns re-parses as float64 with ~6e-8
+            # relative error, which breaks atol=1e-4 on large variances
+            df.to_csv(path, float_format="%.17g")
             return  # generation mode: write every golden the test produces
         if not os.path.exists(path):
             pytest.skip(f"golden missing: {path} (run --generate-golden)")

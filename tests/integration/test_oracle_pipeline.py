@@ -1,0 +1,266 @@
+"""Full-pipeline float64 numpy oracle on real reference data.
+
+Independent re-implementation of the ENTIRE inference chain — ensemble
+statistics, s-init heuristic, constant-median-R Adam optimization with the
+exact stopping rule, and the time-varying-R final smoother — in plain float64
+numpy, then asserted against the product pipeline at the reference's own
+parity contract (atol=1e-4, /root/reference/tests/conftest.py:95-101).
+
+The per-filter oracle lives in tests/test_ops_kalman.py; this extends it
+end-to-end for one singlecam and one pupil session (VERDICT round-1 item 4).
+Oracle gradients are float64 central differences (error ~1e-10, far below
+both families' stopping tolerances); the product runs under enable_x64 so
+optimizer trajectories are comparable step-for-step.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import REFERENCE_DATA, reference_data_available
+from tests.test_ops_kalman import oracle_filter_smoother
+
+pytestmark = pytest.mark.skipif(
+    not reference_data_available(), reason="reference data missing"
+)
+
+T_SESSION = 400  # truncated session length (oracle filter is a python loop)
+
+
+# ----------------------------------------------------------------- #
+# oracle building blocks
+# ----------------------------------------------------------------- #
+def np_ensemble(arr):
+    """(M, T, K, 3) [x, y, likelihood] -> median preds (T,K,2),
+    confidence-weighted vars (T,K,2), mean conf (T,K). Mirrors
+    eks/core.py:54-99 semantics in float64."""
+    x, y, lh = arr[..., 0], arr[..., 1], arr[..., 2]
+    preds = np.stack([np.nanmedian(x, axis=0), np.nanmedian(y, axis=0)], axis=-1)
+    conf = lh.sum(axis=0) / arr.shape[0]
+    var = np.stack([np.nanvar(x, axis=0), np.nanvar(y, axis=0)], axis=-1)
+    var = var / conf[..., None]
+    var = np.nan_to_num(var, nan=1000.0)
+    return preds, var, conf
+
+
+def np_adam(loss_fn, theta0, lr, tol, cap, grad_scale=1.0, fd_h=1e-6):
+    """optax.adam trajectory with central-difference gradients and the exact
+    stopping rule of core.py:215-237 / ibl_pupil.py:299-318."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    theta = np.asarray(theta0, dtype=np.float64).copy()
+    mu = np.zeros_like(theta)
+    nu = np.zeros_like(theta)
+    prev = np.inf
+    for t in range(1, cap + 1):
+        loss = loss_fn(theta)
+        g = np.zeros_like(theta)
+        for i in range(theta.size):
+            d = np.zeros_like(theta)
+            d[i] = fd_h * max(1.0, abs(theta[i]))
+            g[i] = (loss_fn(theta + d) - loss_fn(theta - d)) / (2 * d[i])
+        g = g * grad_scale
+        mu = b1 * mu + (1 - b1) * g
+        nu = b2 * nu + (1 - b2) * g**2
+        step = lr * (mu / (1 - b1**t)) / (np.sqrt(nu / (1 - b2**t)) + eps)
+        theta = theta - step
+        if np.isfinite(prev):
+            rel = tol * abs(np.log(max(prev, 1e-12)))
+            if abs(loss - prev) < rel + 1e-6:
+                break
+        prev = loss
+    return theta
+
+
+def _load_session(path, bodyparts=None, T=T_SESSION):
+    from eks_tpu.utils import format_data
+
+    dfs, kps = format_data(path)
+    if bodyparts is None:
+        bodyparts = kps
+    M = len(dfs)
+    arr = np.zeros((M, T, len(bodyparts), 3))
+    for m, df in enumerate(dfs):
+        for k, kp in enumerate(bodyparts):
+            for d, f in enumerate(["x", "y", "likelihood"]):
+                arr[m, :, k, d] = df[f"{kp}_{f}"].to_numpy()[:T]
+    return arr, bodyparts
+
+
+# ----------------------------------------------------------------- #
+# singlecam
+# ----------------------------------------------------------------- #
+def test_singlecam_pipeline_matches_f64_oracle():
+    from eks_tpu.marker_array import MarkerArray
+    from eks_tpu.models.singlecam import ensemble_kalman_smoother_singlecam
+
+    arr, bodyparts = _load_session(
+        f"{REFERENCE_DATA}/ibl-pupil", ["pupil_top_r", "pupil_right_r"]
+    )
+    s_frames = [(0, 200)]
+
+    # ---------------- oracle ----------------
+    preds, evar, conf = np_ensemble(arr)  # (T,K,2) etc.
+    means = preds.mean(axis=0)  # centering, quantile=100
+    centered = preds - means
+    T, K, _ = preds.shape
+
+    s_oracle = np.zeros(K)
+    sm_oracle = np.zeros((T, K, 2))
+    pv_oracle = np.zeros((T, K, 2))
+    for k in range(K):
+        yk = centered[:, k, :]
+        S0 = np.diag(np.nanvar(yk, axis=0))
+        A = Q = C = np.eye(2)
+        m0 = np.zeros(2)
+
+        # s init: std of ensemble-variance diffs, 5 dp (eks/core.py:104-133)
+        g = round(float(np.nanstd(np.diff(evar[:2000, k, :], axis=0))), 5)
+        if not (np.isfinite(g) and g > 0):
+            g = 2.0
+
+        # loss: cropped frames, constant median-R floored at 1e-4
+        lo, hi = s_frames[0]
+        y_loss = yk[lo:hi]
+        r_const = np.clip(
+            np.nanmedian(np.clip(evar[lo:hi, k, :], 1e-12, None), axis=0),
+            1e-4, np.inf,
+        )
+
+        def nll(theta):
+            s = np.exp(np.clip(theta[0], -8.0, 8.0))
+            ll, *_ = oracle_filter_smoother(
+                y_loss, m0, S0, A, s * Q, C, r_const
+            )
+            return -ll if np.isfinite(ll) else 1e12
+
+        theta = np_adam(
+            nll, [np.log(np.clip(g, 1e-6, 1e3))],
+            lr=1.0, tol=1e-2, cap=300, grad_scale=0.25,
+        )
+        s_k = float(np.exp(np.clip(theta[0], -8.0, 8.0)))
+        s_oracle[k] = s_k
+
+        _, _, _, sm, sP = oracle_filter_smoother(
+            yk, m0, S0, A, s_k * Q, C, np.clip(evar[:, k, :], 1e-12, None)
+        )
+        sm_oracle[:, k] = sm + means[k]
+        pv_oracle[:, k, 0] = sP[:, 0, 0]
+        pv_oracle[:, k, 1] = sP[:, 1, 1]
+
+    # ---------------- product ----------------
+    with jax.enable_x64():
+        ma = MarkerArray(arr[:, None], data_fields=["x", "y", "likelihood"])
+        df, s_finals = ensemble_kalman_smoother_singlecam(
+            ma, bodyparts, s_frames=s_frames
+        )
+
+    np.testing.assert_allclose(s_finals, s_oracle, rtol=1e-4)
+    for k, bp in enumerate(bodyparts):
+        blk = df["ensemble-kalman_tracker"][bp]
+        np.testing.assert_allclose(
+            blk[["x", "y"]].to_numpy(), sm_oracle[:, k], rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            blk[["x_posterior_var", "y_posterior_var"]].to_numpy(),
+            pv_oracle[:, k], rtol=0, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            blk[["x_ens_var", "y_ens_var"]].to_numpy(),
+            evar[:, k], rtol=0, atol=1e-4,
+        )
+
+
+# ----------------------------------------------------------------- #
+# ibl-pupil
+# ----------------------------------------------------------------- #
+def test_pupil_pipeline_matches_f64_oracle():
+    from eks_tpu.marker_array import MarkerArray
+    from eks_tpu.models.ibl_pupil import (
+        BODYPART_LIST,
+        PUPIL_C,
+        ensemble_kalman_smoother_ibl_pupil,
+        get_pupil_diameter,
+        get_pupil_location,
+    )
+
+    arr, _ = _load_session(f"{REFERENCE_DATA}/ibl-pupil", BODYPART_LIST)
+    s_frames = [(0, 300)]
+
+    # ---------------- oracle ----------------
+    preds, evar, conf = np_ensemble(arr)
+    T = preds.shape[0]
+    flat = preds.reshape(T, -1)
+    keys = [f"{kp}_{c}" for kp in BODYPART_LIST for c in ["x", "y"]]
+    named = {k: flat[:, i] for i, k in enumerate(keys)}
+    diam = get_pupil_diameter(named)
+    loc = get_pupil_location(named)
+    mean_x, mean_y = float(loc[:, 0].mean()), float(loc[:, 1].mean())
+    dvar = float(np.var(diam))
+    xvar = float(np.var(loc[:, 0] - mean_x))
+    yvar = float(np.var(loc[:, 1] - mean_y))
+
+    y_obs = flat.copy()
+    y_obs[:, 0::2] -= mean_x
+    y_obs[:, 1::2] -= mean_y
+    m0 = np.array([diam.mean(), 0.0, 0.0])
+    S0 = np.diag([np.nanvar(diam), xvar, yvar])
+    r_all = np.clip(evar.reshape(T, -1), 1e-12, None)
+
+    lo, hi = s_frames[0]
+    y_loss, r_loss = y_obs[lo:hi], r_all[lo:hi]
+    eps = 1e-3
+
+    def model(s_d, s_c):
+        A = np.diag([s_d, s_c, s_c])
+        Q = np.diag(
+            [dvar * (1 - s_d**2), xvar * (1 - s_c**2), yvar * (1 - s_c**2)]
+        )
+        return A, Q
+
+    def nll(u):
+        s = 1 / (1 + np.exp(-np.asarray(u))) * (1 - 2 * eps) + eps
+        A, Q = model(s[0], s[1])
+        ll, *_ = oracle_filter_smoother(y_loss, m0, S0, A, Q, PUPIL_C, r_loss)
+        return -ll if np.isfinite(ll) else 1e12
+
+    s0 = np.array([0.99, 0.98])
+    u = np_adam(nll, np.log(s0 / (1 - s0)), lr=5e-3, tol=1e-6, cap=5000)
+    s_star = 1 / (1 + np.exp(-u)) * (1 - 2 * eps) + eps
+
+    A, Q = model(s_star[0], s_star[1])
+    _, _, _, sm, sP = oracle_filter_smoother(y_obs, m0, S0, A, Q, PUPIL_C, r_all)
+    y_m = sm @ PUPIL_C.T
+    y_v = np.einsum("ij,tjl,ml->tim", PUPIL_C, sP, PUPIL_C)
+
+    # ---------------- product ----------------
+    with jax.enable_x64():
+        ma = MarkerArray(arr[:, None], data_fields=["x", "y", "likelihood"])
+        df, s_finals = ensemble_kalman_smoother_ibl_pupil(
+            ma, BODYPART_LIST, s_frames=s_frames
+        )
+
+    np.testing.assert_allclose(s_finals, s_star, atol=1e-5)
+
+    # output packing quirks (block order [top,right,bottom,left], posterior
+    # var at (i,i)/(i+1,i+1)) are part of the oracle assertion
+    key_pairs = [(0, 1), (4, 5), (2, 3), (6, 7)]
+    for i, bp in enumerate(BODYPART_LIST):
+        blk = df["ensemble-kalman_tracker"][bp]
+        jx, jy = key_pairs[i]
+        np.testing.assert_allclose(
+            blk["x"].to_numpy(), y_m[:, jx] + mean_x, rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            blk["y"].to_numpy(), y_m[:, jy] + mean_y, rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            blk["x_posterior_var"].to_numpy(), y_v[:, i, i], rtol=0, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            blk["y_posterior_var"].to_numpy(),
+            y_v[:, i + 1, i + 1], rtol=0, atol=1e-4,
+        )

@@ -89,3 +89,66 @@ def test_time_axis_sharding_requires_divisible_T(rng):
             np.eye(2, dtype=np.float32), np.eye(2, dtype=np.float32),
             np.ones((100, 2), np.float32), mesh=mesh,
         )
+
+
+def test_devices_flag_in_run_kalman_smoother(rng):
+    """run_kalman_smoother(devices=8) must agree with the single-device run:
+    the product-facing multi-chip path (VERDICT round-1 item 8)."""
+    from eks_tpu.core import run_kalman_smoother
+
+    K, T = 5, 120  # K not a multiple of 8: exercises padding
+    eye = np.tile(np.eye(2), (K, 1, 1))
+    ys = rng.normal(size=(K, T, 2)).cumsum(axis=1).astype(np.float32) * 0.1
+    ev = np.abs(rng.normal(size=(T, K, 2))).astype(np.float32) + 0.05
+    args = dict(
+        m0s=np.zeros((K, 2)), S0s=eye.copy(), As=eye.copy(),
+        Cs=eye.copy(), Qs=eye.copy(), ensemble_vars=ev,
+    )
+    s1, m1, v1 = run_kalman_smoother(ys=ys, **args)
+    s8, m8, v8 = run_kalman_smoother(ys=ys, **args, devices=8)
+    np.testing.assert_allclose(s8, s1, rtol=1e-4)
+    np.testing.assert_allclose(m8, m1, atol=1e-4)
+    np.testing.assert_allclose(v8, v1, atol=1e-4)
+    assert m8.shape == (K, T, 2)
+
+
+def test_devices_flag_cli_singlecam(tmp_path, rng):
+    """One user-facing command exercising DP sharding end-to-end on the
+    8-device CPU mesh."""
+    import sys
+    from unittest import mock
+
+    import pandas as pd
+
+    from eks_tpu.cli.main import main
+
+    kps = ["a", "b", "c"]
+    cols = pd.MultiIndex.from_product(
+        [["m"], kps, ["x", "y", "likelihood"]],
+        names=["scorer", "bodyparts", "coords"],
+    )
+    for i in range(3):
+        df = pd.DataFrame(
+            rng.random((60, len(kps) * 3)).astype(np.float32), columns=cols
+        )
+        df.to_csv(tmp_path / f"preds.rng={i}.csv")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for f in tmp_path.glob("*.csv"):
+        f.rename(in_dir / f.name)
+    for n_dev, out in [(None, "one.csv"), (8, "mesh.csv")]:
+        argv = [
+            "eks-tpu", "singlecam",
+            "--input-dir", str(in_dir),
+            "--save-dir", str(tmp_path),
+            "--save-filename", out,
+            "--s", "2.0",
+        ] + ([] if n_dev is None else ["--devices", str(n_dev)])
+        with mock.patch.object(sys, "argv", argv):
+            main()
+    one = pd.read_csv(tmp_path / "one.csv", header=[0, 1, 2], index_col=0)
+    mesh = pd.read_csv(tmp_path / "mesh.csv", header=[0, 1, 2], index_col=0)
+    np.testing.assert_allclose(
+        mesh.to_numpy(), one.to_numpy(), rtol=0, atol=1e-4
+    )
