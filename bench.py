@@ -184,10 +184,11 @@ def bench_paw(rng, frames=10_000, kps=4):
 
 
 def measure_accelerator(marker_arr):
-    # warm-up compiles everything, second run measures steady state
+    # warm-up compiles everything; best-of-3 steady-state runs (host<->device
+    # transfer time over a remote-attached chip is the dominant noise source)
     run_pipeline(marker_arr, sequential=False)
-    elapsed, s = run_pipeline(marker_arr, sequential=False)
-    return elapsed, s
+    results = [run_pipeline(marker_arr, sequential=False) for _ in range(3)]
+    return min(r[0] for r in results), results[0][1]
 
 
 def measure_cpu_baseline(marker_arr):

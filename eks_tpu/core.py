@@ -549,4 +549,7 @@ def _run_kalman_smoother_impl(
         f"[timing]   final smoother pass ({K} keypoints): "
         f"{time.perf_counter() - _t0:.3f}s"
     )
-    return s_finals, np.asarray(ms)[:K], np.asarray(Vs)[:K]
+    # results stay device-resident; callers decide when to pull (transfers
+    # over a remote-attached chip dominate, so the pull should be one batched
+    # download as late as possible)
+    return s_finals, ms[:K], Vs[:K]

@@ -334,6 +334,10 @@ def ensemble_kalman_smoother_multicam(
         h_fn=h_fn,
     )
     logger.debug(f"[timing] run_kalman_smoother: {time.perf_counter() - _t0:.3f}s")
+    # one batched pull of the device-resident results (packaging below mixes
+    # many small numpy slices; per-slice implicit D2H over a remote chip
+    # would be pathological)
+    ms, Vs = np.asarray(ms), np.asarray(Vs)
 
     # reprojection + packaging
     _t0 = time.perf_counter()

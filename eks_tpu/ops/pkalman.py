@@ -388,11 +388,15 @@ def _rts_from_filtered(ms, Ps, A, Q):
     """Backward RTS pass as a reverse associative scan over the filtered
     moments; emission-independent, so linear and (iterated) extended filters
     share it. Returns (smoothed means, smoothed covs)."""
-    from eks_tpu.ops.pallas_filter import _use_pallas, smoother_suffix_pallas
+    from eks_tpu.ops.pallas_filter import _FORCE_PALLAS, smoother_suffix_pallas
 
     E_all, g_all, L_all = _make_smoother_elements(ms, Ps, A, Q)
     dim = ms.shape[1]
-    if _use_pallas(dim):
+    # the fused backward kernel only runs when explicitly forced: measured on
+    # v5e it loses to the XLA reverse scan (69ms vs 41ms for the 20-lane
+    # final pass) — the reversal copies + re-packing eat the fusion win,
+    # unlike the forward filter where Pallas is ~2x ahead
+    if _FORCE_PALLAS and dim <= 3:
         return smoother_suffix_pallas(
             E_all, g_all, L_all, interpret=jax.default_backend() != "tpu"
         )
