@@ -152,3 +152,24 @@ def test_devices_flag_cli_singlecam(tmp_path, rng):
     np.testing.assert_allclose(
         mesh.to_numpy(), one.to_numpy(), rtol=0, atol=1e-4
     )
+
+
+def test_devices_with_correlated_blocks(rng):
+    """Mesh sharding composes with multi-member block structures (the padded
+    block axis is what gets sharded)."""
+    from eks_tpu.core import run_kalman_smoother
+
+    K, T = 5, 80
+    eye = np.tile(np.eye(2), (K, 1, 1))
+    ys = rng.normal(size=(K, T, 2)).cumsum(axis=1).astype(np.float32) * 0.1
+    ev = np.abs(rng.normal(size=(T, K, 2))).astype(np.float32) + 0.05
+    blocks = [[0, 2], [1], [3, 4]]
+    args = dict(
+        m0s=np.zeros((K, 2)), S0s=eye.copy(), As=eye.copy(),
+        Cs=eye.copy(), Qs=eye.copy(), ensemble_vars=ev, blocks=blocks,
+    )
+    s1, m1, _ = run_kalman_smoother(ys=ys, **args)
+    s8, m8, _ = run_kalman_smoother(ys=ys, **args, devices=8)
+    assert s1[0] == s1[2] and s1[3] == s1[4]  # members share s
+    np.testing.assert_allclose(s8, s1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), atol=1e-4)
