@@ -292,9 +292,9 @@ def optimize_smooth_param(
     """Optimize ``s`` per block; returns per-keypoint ``s_finals`` (K,).
 
     With ``mesh`` (a 1-D jax.sharding.Mesh), the block axis is sharded over
-    the mesh devices — every other step is unchanged. ``ensemble_vars`` may
-    be a device array ((T, K, O) or pre-swapped (K, T, O)); without
-    ``s_frames`` the constant-R reduction then runs on device with no
+    the mesh devices — every other step is unchanged. ``ensemble_vars`` is
+    always (T, K, O); when it arrives as a device array (and no ``s_frames``
+    cropping is requested) the constant-R reduction runs on device with no
     host pull."""
     K = ys.shape[0]
     if not blocks:
@@ -305,11 +305,10 @@ def optimize_smooth_param(
     if on_device:
         # device-resident prep: median over time of the floored variances,
         # never pulling the (T, K, O) block to host
-        ev = ensemble_vars
-        if ev.shape[0] != K:
-            ev = jnp.swapaxes(ev, 0, 1)  # -> (K, T, O)
         y_cropped = ys
-        r_const = _device_constant_r(ev, float(min_R_var))
+        r_const = _device_constant_r(
+            jnp.swapaxes(ensemble_vars, 0, 1), float(min_R_var)
+        )
     else:
         # per-step variances with the R floor applied (eks/utils.py:373)
         vars_np = np.clip(
@@ -436,7 +435,7 @@ def run_kalman_smoother(
     h_fn: Optional[Callable] = None,
     sequential: bool = False,
     devices: int | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, jnp.ndarray, jnp.ndarray]:
     """Tune ``s`` (unless given) and run the final smoother for K keypoints.
 
     Linear model per keypoint unless ``h_fn`` is supplied:
@@ -448,7 +447,9 @@ def run_kalman_smoother(
     has no multi-device story at all — SURVEY.md §2.3).
 
     Returns:
-        s_finals (K,), smoothed means (K, T, D), smoothed covs (K, T, D, D).
+        s_finals (K,) host array; smoothed means (K, T, D) and covs
+        (K, T, D, D) as device-resident arrays — callers pull once, as late
+        as possible (transfers dominate on remote-attached accelerators).
     """
     K, T, _ = ys.shape
 
@@ -458,6 +459,12 @@ def run_kalman_smoother(
 
         mesh = make_mesh(devices)
         logger.info(f"keypoint-axis data parallelism over {devices} devices")
+        # operands must re-shard onto the mesh devices; pull any
+        # default-device arrays to host ONCE here so the two stages below
+        # do not each trigger their own D2H round-trip
+        ys, m0s, S0s, As, Cs, Qs, ensemble_vars = jax.device_get(
+            (ys, m0s, S0s, As, Cs, Qs, ensemble_vars)
+        )
         # SPMD-partitioning a pallas_call is not supported on this path; the
         # XLA associative scan partitions cleanly, so pin it under a mesh
         from eks_tpu.ops.pallas_filter import force_pallas_scan
@@ -482,6 +489,11 @@ def _run_kalman_smoother_impl(
 
     on_device = isinstance(ensemble_vars, jnp.ndarray)
     if on_device:
+        if ensemble_vars.shape[0] < 2:
+            # keep the host path's error contract (compute_initial_guesses)
+            raise ValueError(
+                "Initial-s heuristic needs at least two frames of ensemble variance."
+            )
         # device prep: only the K initial guesses come back to host (tiny)
         ev = ensemble_vars  # (T, K, O), device
         g = np.asarray(_device_s_guesses(ev))

@@ -139,10 +139,10 @@ def ensemble_kalman_smoother_singlecam(
     m0s = np.zeros((n_keypoints, 2))
 
     if s_frames:
-        # loss-frame cropping happens host-side; pull the prep results early
-        ys = np.asarray(ys_dev)
-        ens_vars_in = np.asarray(stats)[..., 2:4]
-        S0s = np.asarray(S0s_dev)
+        # loss-frame cropping happens host-side; one batched pull of the
+        # prep results (per-array pulls each pay a transfer round-trip)
+        ys, stats_host, S0s = jax.device_get((ys_dev, stats, S0s_dev))
+        ens_vars_in = stats_host[..., 2:4]
     else:
         ys, ens_vars_in, S0s = ys_dev, stats[..., 2:4], S0s_dev
 

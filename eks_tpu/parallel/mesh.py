@@ -128,7 +128,6 @@ def optimize_and_smooth_sharded(
 
     Returns host arrays (s_finals (K,), ms (K, T, D), Vs (K, T, D, D)).
     """
-    n_dev = int(np.prod(mesh.devices.shape))
     K = ys.shape[0]
 
     vars_clipped = np.clip(np.asarray(ensemble_vars), 1e-12, None)
@@ -137,21 +136,17 @@ def optimize_and_smooth_sharded(
         s_log_init = np.zeros(K, dtype=np.float32)
 
     # pad the keypoint axis to the mesh size and shard every batched operand
-    padded = {}
-    operands = {
-        "ys": np.asarray(ys),
-        "r_const": r_const,
-        "m0s": np.asarray(m0s),
-        "S0s": np.asarray(S0s),
-        "As": np.asarray(As),
-        "Qs": np.asarray(Qs),
-        "Cs": np.asarray(Cs),
-        "s_log_init": np.asarray(s_log_init, dtype=np.float32),
-        "rs": vars_clipped,
-    }
-    for name, arr in operands.items():
-        arr_p, _ = _pad_leading(arr, n_dev)
-        padded[name] = shard_leading(mesh, arr_p, axis_name)
+    names = ["ys", "r_const", "m0s", "S0s", "As", "Qs", "Cs", "s_log_init", "rs"]
+    sharded, _ = pad_and_shard_leading(
+        mesh,
+        [
+            np.asarray(ys), r_const, np.asarray(m0s), np.asarray(S0s),
+            np.asarray(As), np.asarray(Qs), np.asarray(Cs),
+            np.asarray(s_log_init, dtype=np.float32), vars_clipped,
+        ],
+        axis_name,
+    )
+    padded = dict(zip(names, sharded))
 
     Kp = padded["ys"].shape[0]
     mask = shard_leading(mesh, np.ones((Kp, 1), dtype=np.float32), axis_name)
