@@ -373,8 +373,7 @@ def optimize_smooth_param(
         operands[-2:] = [jnp.asarray(mask), jnp.asarray(s_log_init)]
 
     s_lo, s_hi = s_bounds_log
-    s_log_f, last_loss, iters = _optimize_blocks(
-        *operands,
+    statics = dict(
         h_fn=h_fn,
         sequential=sequential,
         lr=float(lr),
@@ -383,6 +382,12 @@ def optimize_smooth_param(
         tol=float(tol),
         safety_cap=int(safety_cap),
     )
+    if mesh is not None:
+        from eks_tpu.parallel.mesh import optimize_blocks_sharded
+
+        s_log_f, last_loss, iters = optimize_blocks_sharded(mesh, operands, **statics)
+    else:
+        s_log_f, last_loss, iters = _optimize_blocks(*operands, **statics)
 
     s_log_f = np.asarray(s_log_f)[:n_blocks]
     last_loss = np.asarray(last_loss)
@@ -465,11 +470,20 @@ def run_kalman_smoother(
         ys, m0s, S0s, As, Cs, Qs, ensemble_vars = jax.device_get(
             (ys, m0s, S0s, As, Cs, Qs, ensemble_vars)
         )
-        # SPMD-partitioning a pallas_call is not supported on this path; the
-        # XLA associative scan partitions cleanly, so pin it under a mesh
-        from eks_tpu.ops.pallas_filter import force_pallas_scan
+        # the batched programs run under shard_map on the mesh devices, so
+        # each device executes the fused Pallas kernels on its local lanes —
+        # no SPMD partitioning of the pallas_call is needed. Dispatch must
+        # follow the MESH platform though, not the ambient default backend
+        # (one real TPU chip may coexist with a CPU test mesh): on a CPU
+        # mesh the auto-dispatch would wrongly pick Pallas. An explicit
+        # force_pallas_scan in scope still wins.
+        from eks_tpu.ops import pallas_filter as _pf
 
-        with force_pallas_scan(False):
+        mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
+        enabled = _pf._FORCE_PALLAS
+        if enabled is None and not mesh_is_tpu:
+            enabled = False
+        with _pf.force_pallas_scan(enabled):
             return _run_kalman_smoother_impl(
                 ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
                 smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,
@@ -546,17 +560,20 @@ def _run_kalman_smoother_impl(
     operands = [ys, m0s, S0s, As, Qs, Cs, s_finals, rs]
     if mesh is not None:
         # host -> mesh devices directly; never through the default backend
-        from eks_tpu.parallel.mesh import pad_and_shard_leading
+        from eks_tpu.parallel.mesh import pad_and_shard_leading, smooth_all_sharded
 
         operands, _ = pad_and_shard_leading(mesh, operands)
         dt = operands[-1].dtype
         operands[-2] = operands[-2].astype(dt)
+        ms, Vs = smooth_all_sharded(
+            mesh, operands, h_fn=h_fn, sequential=sequential
+        )
     else:
         rs = jnp.asarray(rs)
         operands = [jnp.asarray(a) for a in operands[:6]] + [
             jnp.asarray(s_finals, dtype=rs.dtype), rs,
         ]
-    ms, Vs = _smooth_all(*operands, h_fn=h_fn, sequential=sequential)
+        ms, Vs = _smooth_all(*operands, h_fn=h_fn, sequential=sequential)
     logger.debug(
         f"[timing]   final smoother pass ({K} keypoints): "
         f"{time.perf_counter() - _t0:.3f}s"

@@ -32,6 +32,7 @@ dynamax scan hot loop (eks/core.py:290-291,469,648).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,9 +68,9 @@ def _use_pallas(D: int) -> bool:
 class force_pallas_scan:
     """Context manager pinning the fused-Pallas prefix scan on or off
     regardless of backend (tests use it to exercise the kernel on CPU in
-    interpret mode)."""
+    interpret mode). ``None`` restores backend auto-dispatch."""
 
-    def __init__(self, enabled: bool = True):
+    def __init__(self, enabled: Optional[bool] = True):
         self.enabled = enabled
 
     def __enter__(self):

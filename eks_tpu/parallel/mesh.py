@@ -16,6 +16,7 @@ K >= n_devices, which holds for every bundled workload.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -29,6 +30,8 @@ __all__ = [
     "make_mesh",
     "shard_leading",
     "pad_and_shard_leading",
+    "optimize_blocks_sharded",
+    "smooth_all_sharded",
     "optimize_and_smooth_sharded",
     "smooth_time_sharded",
 ]
@@ -106,6 +109,57 @@ def _replicate(mesh: Mesh, x):
     return jax.device_put(np.asarray(x), NamedSharding(mesh, P()))
 
 
+# --------------------------------------------------------------------------- #
+# shard_map wrappers: run the batched programs per-device on the local shard
+# --------------------------------------------------------------------------- #
+# Mapping the program manually (rather than letting the SPMD partitioner split
+# the sharded-input jit) buys two things on the keypoint axis:
+#   * ``pallas_call`` needs no partitioning rule — each device runs the fused
+#     kernel on its local lanes, so the TPU fast path stays on under a mesh;
+#   * each device's optimizer ``while_loop`` stops when ITS lanes converge,
+#     instead of every device stepping until the globally-slowest lane is done
+#     (the partitioned while's condition is an every-iteration all-reduce).
+@functools.lru_cache(maxsize=None)
+def _shmap_optimize(mesh: Mesh, axis_name: str, statics: tuple):
+    kw = dict(statics)
+    spec = P(axis_name)
+
+    def fn(*operands):
+        return _optimize_blocks(*operands, **kw)
+
+    # check_vma off: the per-lane while_loop carries start from scalar
+    # literals (unvarying) and become kp-varying after one step, which the
+    # varying-axis checker rejects; there are no collectives in the body,
+    # so every output is trivially varying along kp.
+    return jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _shmap_smooth(mesh: Mesh, axis_name: str, statics: tuple):
+    kw = dict(statics)
+    spec = P(axis_name)
+
+    def fn(*operands):
+        return _smooth_all(*operands, **kw)
+
+    return jax.jit(
+        jax.shard_map(fn, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False)
+    )
+
+
+def optimize_blocks_sharded(mesh: Mesh, operands: list, axis_name: str = "kp", **statics):
+    """``core._optimize_blocks`` over mesh-sharded operands (leading axis must
+    already be padded to the mesh size and device-put with ``P(axis_name)``)."""
+    return _shmap_optimize(mesh, axis_name, tuple(sorted(statics.items())))(*operands)
+
+
+def smooth_all_sharded(mesh: Mesh, operands: list, axis_name: str = "kp", **statics):
+    """``core._smooth_all`` over mesh-sharded operands (same contract)."""
+    return _shmap_smooth(mesh, axis_name, tuple(sorted(statics.items())))(*operands)
+
+
 def optimize_and_smooth_sharded(
     ys: np.ndarray,  # (K, T, O)
     m0s: np.ndarray,  # (K, D)
@@ -153,31 +207,39 @@ def optimize_and_smooth_sharded(
 
     # optimizer over singleton blocks: add the member axis (B_max = 1)
     add_member = lambda x: x[:, None]
-    s_log_f, last_loss, iters = _optimize_blocks(
-        add_member(padded["ys"]),
-        add_member(padded["r_const"]),
-        add_member(padded["m0s"]),
-        add_member(padded["S0s"]),
-        add_member(padded["As"]),
-        add_member(padded["Qs"]),
-        add_member(padded["Cs"]),
-        mask,
-        padded["s_log_init"],
+    s_log_f, last_loss, iters = optimize_blocks_sharded(
+        mesh,
+        [
+            add_member(padded["ys"]),
+            add_member(padded["r_const"]),
+            add_member(padded["m0s"]),
+            add_member(padded["S0s"]),
+            add_member(padded["As"]),
+            add_member(padded["Qs"]),
+            add_member(padded["Cs"]),
+            mask,
+            padded["s_log_init"],
+        ],
+        axis_name,
         lr=float(lr),
         tol=float(tol),
         safety_cap=int(safety_cap),
     )
     s_finals = jnp.exp(jnp.clip(s_log_f, -8.0, 8.0))
 
-    ms, Vs = _smooth_all(
-        padded["ys"],
-        padded["m0s"],
-        padded["S0s"],
-        padded["As"],
-        padded["Qs"],
-        padded["Cs"],
-        s_finals.astype(padded["ys"].dtype),
-        padded["rs"],
+    ms, Vs = smooth_all_sharded(
+        mesh,
+        [
+            padded["ys"],
+            padded["m0s"],
+            padded["S0s"],
+            padded["As"],
+            padded["Qs"],
+            padded["Cs"],
+            s_finals.astype(padded["ys"].dtype),
+            padded["rs"],
+        ],
+        axis_name,
     )
     return (
         np.asarray(s_finals)[:K],

@@ -154,6 +154,29 @@ def test_devices_flag_cli_singlecam(tmp_path, rng):
     )
 
 
+def test_devices_with_forced_pallas(rng):
+    """The fused Pallas kernels now run under the mesh (shard_map maps them
+    per-device, so no SPMD partitioning of the pallas_call is needed);
+    interpret mode stands in for the TPU compile on the CPU test mesh."""
+    from eks_tpu.core import run_kalman_smoother
+    from eks_tpu.ops.pallas_filter import force_pallas_scan
+
+    K, T = 5, 120
+    eye = np.tile(np.eye(2), (K, 1, 1))
+    ys = rng.normal(size=(K, T, 2)).cumsum(axis=1).astype(np.float32) * 0.1
+    ev = np.abs(rng.normal(size=(T, K, 2))).astype(np.float32) + 0.05
+    args = dict(
+        m0s=np.zeros((K, 2)), S0s=eye.copy(), As=eye.copy(),
+        Cs=eye.copy(), Qs=eye.copy(), ensemble_vars=ev,
+    )
+    s1, m1, v1 = run_kalman_smoother(ys=ys, **args)
+    with force_pallas_scan(True):
+        s8, m8, v8 = run_kalman_smoother(ys=ys, **args, devices=8)
+    np.testing.assert_allclose(s8, s1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(m8), np.asarray(m1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(v8), np.asarray(v1), atol=1e-4)
+
+
 def test_devices_with_correlated_blocks(rng):
     """Mesh sharding composes with multi-member block structures (the padded
     block axis is what gets sharded)."""
