@@ -140,8 +140,17 @@ add_devices = _builder(
     (("--devices",), dict(
         type=int, default=None,
         help=(
-            "shard the keypoint axis over this many accelerator devices "
-            "(data parallelism over a 1-D mesh); default = single device"
+            "shard the smoothing step over this many accelerator devices "
+            "(a 1-D mesh); default = single device"
+        ),
+    )),
+    (("--partition",), dict(
+        type=str, default="keypoint", choices=("keypoint", "time"),
+        help=(
+            "mesh axis for --devices: 'keypoint' = data parallelism over "
+            "independent keypoint lanes (default), 'time' = sequence "
+            "parallelism splitting the frame axis of the prefix scans "
+            "(for very long sessions or fewer keypoints than devices)"
         ),
     )),
 )

@@ -46,6 +46,7 @@ def cmd_singlecam(args: argparse.Namespace) -> None:
         s_frames=args.s_frames,
         blocks=args.blocks,
         devices=args.devices,
+        partition=args.partition,
     )
 
     if args.make_plot:

@@ -288,10 +288,13 @@ def optimize_smooth_param(
     h_fn: Optional[Callable] = None,
     sequential: bool = False,
     mesh=None,
+    partition: str = "keypoint",
 ) -> np.ndarray:
     """Optimize ``s`` per block; returns per-keypoint ``s_finals`` (K,).
 
-    With ``mesh`` (a 1-D jax.sharding.Mesh), the block axis is sharded over
+    With ``mesh`` (a 1-D jax.sharding.Mesh), either the block axis
+    (``partition="keypoint"``, shard_map) or the time axis
+    (``partition="time"``, SPMD-partitioned prefix scans) is sharded over
     the mesh devices — every other step is unchanged. ``ensemble_vars`` is
     always (T, K, O); when it arrives as a device array (and no ``s_frames``
     cropping is requested) the constant-R reduction runs on device with no
@@ -365,7 +368,15 @@ def optimize_smooth_param(
         gather(y_cropped), gather(r_const), gather(m0s), gather(S0s),
         gather(As), gather(Qs), gather(Cs), mask, s_log_init,
     ]
-    if mesh is not None:
+    if mesh is not None and partition == "time":
+        from eks_tpu.parallel.mesh import shard_time
+
+        # yB is (n_blocks, B_max, T', O): time axis 2; everything else is
+        # small and replicated
+        operands = shard_time(
+            mesh, operands, [2] + [None] * 8, axis_name=mesh.axis_names[0]
+        )
+    elif mesh is not None:
         from eks_tpu.parallel.mesh import pad_and_shard_leading
 
         operands, _ = pad_and_shard_leading(mesh, operands)
@@ -382,11 +393,13 @@ def optimize_smooth_param(
         tol=float(tol),
         safety_cap=int(safety_cap),
     )
-    if mesh is not None:
+    if mesh is not None and partition == "keypoint":
         from eks_tpu.parallel.mesh import optimize_blocks_sharded
 
         s_log_f, last_loss, iters = optimize_blocks_sharded(mesh, operands, **statics)
     else:
+        # single device, or time partitioning (sharded operands drive the
+        # SPMD partitioner through the same jitted program)
         s_log_f, last_loss, iters = _optimize_blocks(*operands, **statics)
 
     s_log_f = np.asarray(s_log_f)[:n_blocks]
@@ -440,6 +453,7 @@ def run_kalman_smoother(
     h_fn: Optional[Callable] = None,
     sequential: bool = False,
     devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple[np.ndarray, jnp.ndarray, jnp.ndarray]:
     """Tune ``s`` (unless given) and run the final smoother for K keypoints.
 
@@ -447,9 +461,13 @@ def run_kalman_smoother(
         ``x_{t+1} = A x_t + w_t``, ``y_t = C x_t + v_t``,
         ``w ~ N(0, s Q)``, ``v_t ~ N(0, diag(ensemble_vars[t]))``.
 
-    ``devices`` > 1 shards the keypoint/block axis of both the optimizer and
-    the final pass over a 1-D device mesh (data parallelism; the reference
-    has no multi-device story at all — SURVEY.md §2.3).
+    ``devices`` > 1 shards over a 1-D device mesh; ``partition`` picks the
+    axis: ``"keypoint"`` (data parallelism over independent lanes, the
+    default — right whenever K >= devices) or ``"time"`` (sequence
+    parallelism: the parallel-prefix scans split the frame axis, with XLA
+    collectives carrying the cross-chunk combines — for sessions too long
+    for one chip's HBM, or K < devices). The reference has no multi-device
+    story at all — SURVEY.md §2.3.
 
     Returns:
         s_finals (K,) host array; smoothed means (K, T, D) and covs
@@ -458,9 +476,29 @@ def run_kalman_smoother(
     """
     K, T, _ = ys.shape
 
+    if partition not in ("keypoint", "time"):
+        raise ValueError(f"unknown partition {partition!r}: use 'keypoint' or 'time'")
+
     mesh = None
     if devices is not None and devices > 1:
         from eks_tpu.parallel.mesh import make_mesh
+
+        if partition == "time":
+            from eks_tpu.ops.pallas_filter import force_pallas_scan
+
+            mesh = make_mesh(devices, axis_name="t")
+            logger.info(f"time-axis sequence parallelism over {devices} devices")
+            ys, m0s, S0s, As, Cs, Qs, ensemble_vars = jax.device_get(
+                (ys, m0s, S0s, As, Cs, Qs, ensemble_vars)
+            )
+            # a fused single-device kernel cannot span the sharded scan axis;
+            # the XLA associative scan partitions with collectives instead
+            with force_pallas_scan(False):
+                return _run_kalman_smoother_impl(
+                    ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
+                    smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,
+                    h_fn, sequential, mesh, partition,
+                )
 
         mesh = make_mesh(devices)
         logger.info(f"keypoint-axis data parallelism over {devices} devices")
@@ -487,17 +525,19 @@ def run_kalman_smoother(
             return _run_kalman_smoother_impl(
                 ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
                 smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,
-                h_fn, sequential, mesh,
+                h_fn, sequential, mesh, partition,
             )
     return _run_kalman_smoother_impl(
         ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames, smooth_param,
         blocks, lr, s_bounds_log, tol, safety_cap, h_fn, sequential, mesh,
+        partition,
     )
 
 
 def _run_kalman_smoother_impl(
     ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames, smooth_param, blocks,
     lr, s_bounds_log, tol, safety_cap, h_fn, sequential, mesh,
+    partition="keypoint",
 ):
     K, T, _ = ys.shape
 
@@ -546,6 +586,7 @@ def _run_kalman_smoother_impl(
             h_fn=h_fn,
             sequential=sequential,
             mesh=mesh,
+            partition=partition,
         )
         logger.debug(
             f"[timing]   optimize_smooth_param: {time.perf_counter() - _t0:.3f}s"
@@ -558,7 +599,19 @@ def _run_kalman_smoother_impl(
     else:
         rs = np.clip(np.swapaxes(ev, 0, 1), 1e-12, None)
     operands = [ys, m0s, S0s, As, Qs, Cs, s_finals, rs]
-    if mesh is not None:
+    if mesh is not None and partition == "time":
+        from eks_tpu.parallel.mesh import shard_time
+
+        # ys and rs are (K, T, O): time axis 1; the SPMD partitioner inserts
+        # the cross-chunk collectives into the prefix scans
+        operands = shard_time(
+            mesh, operands,
+            [1, None, None, None, None, None, None, 1],
+            axis_name=mesh.axis_names[0],
+        )
+        operands[-2] = operands[-2].astype(operands[-1].dtype)
+        ms, Vs = _smooth_all(*operands, h_fn=h_fn, sequential=sequential)
+    elif mesh is not None:
         # host -> mesh devices directly; never through the default backend
         from eks_tpu.parallel.mesh import pad_and_shard_leading, smooth_all_sharded
 

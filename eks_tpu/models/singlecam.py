@@ -57,6 +57,7 @@ def fit_eks_singlecam(
     avg_mode: Literal["mean", "median"] = "median",
     var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
     devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple:
     """Load ensemble CSVs, run the single-camera smoother, save the result.
 
@@ -71,8 +72,10 @@ def fit_eks_singlecam(
             only; final smoothing always covers all frames.
         blocks: groups of keypoint indices sharing one ``s``.
         avg_mode / var_mode: ensemble consensus and variance modes.
-        devices: shard the keypoint axis over this many devices (data
-            parallelism via a 1-D mesh); None/1 = single device.
+        devices: shard the smoothing step over this many devices (a 1-D
+            mesh); None/1 = single device.
+        partition: mesh axis for ``devices``: "keypoint" (data parallelism,
+            default) or "time" (sequence parallelism over the frame axis).
 
     Returns:
         (df_smoothed, s_finals, input_dfs_list, bodypart_list)
@@ -92,6 +95,7 @@ def fit_eks_singlecam(
         avg_mode=avg_mode,
         var_mode=var_mode,
         devices=devices,
+        partition=partition,
     )
 
     save_dir = os.path.dirname(save_file)
@@ -111,6 +115,7 @@ def ensemble_kalman_smoother_singlecam(
     avg_mode: Literal["mean", "median"] = "median",
     var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
     devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple:
     """Array-level single-camera smoother.
 
@@ -158,6 +163,7 @@ def ensemble_kalman_smoother_singlecam(
         smooth_param=smooth_param,
         blocks=blocks,
         devices=devices,
+        partition=partition,
     )
 
     # device-side packaging: reprojection + the 9-label block assembled on

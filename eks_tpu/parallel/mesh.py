@@ -149,6 +149,30 @@ def _shmap_smooth(mesh: Mesh, axis_name: str, statics: tuple):
     )
 
 
+def shard_time(
+    mesh: Mesh, operands: list, time_axes: list, axis_name: str = "t"
+) -> list:
+    """Device-put operands with their time axis sharded over the mesh
+    (sequence parallelism). ``time_axes[i]`` is the axis index of operand i's
+    time dimension, or None to replicate. A time dimension that does not
+    divide the mesh size is replicated instead (correct, just unsharded).
+
+    Unlike the keypoint path this does NOT shard_map: the parallel-prefix
+    combine must cross device boundaries, which the SPMD partitioner handles
+    by inserting collectives into the ``lax.associative_scan`` lowering.
+    """
+    n_dev = int(np.prod(mesh.devices.shape))
+    out = []
+    for x, ax in zip(operands, time_axes):
+        x_np = np.asarray(x)
+        if ax is not None and x_np.shape[ax] % n_dev == 0:
+            spec = P(*([None] * ax), axis_name)
+        else:
+            spec = P()
+        out.append(jax.device_put(x_np, NamedSharding(mesh, spec)))
+    return out
+
+
 def optimize_blocks_sharded(mesh: Mesh, operands: list, axis_name: str = "kp", **statics):
     """``core._optimize_blocks`` over mesh-sharded operands (leading axis must
     already be padded to the mesh size and device-put with ``P(axis_name)``)."""

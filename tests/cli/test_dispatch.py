@@ -44,6 +44,8 @@ def test_cmd_singlecam_forwards_args(tmp_path):
             "--blocks", "0,1;2",
             "--s-frames", "(0,100)",
             "--bodypart-list", "nose", "paw",
+            "--devices", "4",
+            "--partition", "time",
         ])
     assert seen["input_source"] == str(tmp_path)
     assert seen["save_file"] == str(tmp_path / "out.csv")
@@ -51,6 +53,8 @@ def test_cmd_singlecam_forwards_args(tmp_path):
     assert seen["blocks"] == [[0, 1], [2]]
     assert seen["s_frames"] == [(0, 100)]
     assert seen["bodypart_list"] == ["nose", "paw"]
+    assert seen["devices"] == 4
+    assert seen["partition"] == "time"
 
 
 def test_cmd_multicam_forwards_args(tmp_path):

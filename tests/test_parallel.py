@@ -154,6 +154,38 @@ def test_devices_flag_cli_singlecam(tmp_path, rng):
     )
 
 
+def test_time_partition_through_driver(rng):
+    """run_kalman_smoother(partition='time') — the product sequence-parallel
+    path — agrees with the single-device run through optimizer + final pass."""
+    from eks_tpu.core import run_kalman_smoother
+
+    K, T = 2, 256
+    eye = np.tile(np.eye(2), (K, 1, 1))
+    ys = rng.normal(size=(K, T, 2)).cumsum(axis=1).astype(np.float32) * 0.1
+    ev = np.abs(rng.normal(size=(T, K, 2))).astype(np.float32) + 0.05
+    args = dict(
+        m0s=np.zeros((K, 2)), S0s=eye.copy(), As=eye.copy(),
+        Cs=eye.copy(), Qs=eye.copy(), ensemble_vars=ev,
+    )
+    s1, m1, v1 = run_kalman_smoother(ys=ys, **args)
+    st, mt, vt = run_kalman_smoother(ys=ys, **args, devices=8, partition="time")
+    np.testing.assert_allclose(st, s1, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mt), np.asarray(m1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(vt), np.asarray(v1), atol=2e-3)
+
+
+def test_time_partition_rejects_unknown(rng):
+    from eks_tpu.core import run_kalman_smoother
+
+    with pytest.raises(ValueError, match="partition"):
+        run_kalman_smoother(
+            ys=np.zeros((1, 8, 2), np.float32), m0s=np.zeros((1, 2)),
+            S0s=np.eye(2)[None], As=np.eye(2)[None], Cs=np.eye(2)[None],
+            Qs=np.eye(2)[None], ensemble_vars=np.ones((8, 1, 2), np.float32),
+            devices=8, partition="banana",
+        )
+
+
 def test_devices_with_forced_pallas(rng):
     """The fused Pallas kernels now run under the mesh (shard_map maps them
     per-device, so no SPMD partitioning of the pallas_call is needed);
