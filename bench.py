@@ -14,13 +14,13 @@ lax.scan filter/smoother (the reference's dynamax semantics) pinned to the
 CPU backend. Its optimizer cost is extrapolated linearly from a short run
 (per-iteration cost x the accelerator run's iteration count) because the full
 CPU run takes tens of minutes. The CPU baseline is cached in
-.bench_baseline.json keyed by workload shape AND the git commit it was
-measured at — a new commit re-measures instead of trusting a stale number.
+.bench_baseline.json keyed by workload shape AND a hash of the sources the
+baseline path executes — it re-measures exactly when the measured code
+changes instead of trusting a stale number.
 """
 
 import json
 import os
-import subprocess
 import time
 
 import numpy as np
@@ -38,14 +38,22 @@ SAFETY_CAP = 300
 CACHE = os.path.join(_REPO, ".bench_baseline.json")
 
 
-def _git_head() -> str:
-    try:
-        return subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=_REPO, capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or "unknown"
-    except Exception:
-        return "unknown"
+def _baseline_code_hash() -> str:
+    """Hash of the sources the CPU-baseline run actually executes. The
+    baseline re-measures when any of these change; unrelated commits reuse
+    the cached number (a git-commit key would re-pay the ~10-minute CPU
+    measure on every commit)."""
+    import hashlib
+
+    files = [
+        "eks_tpu/ops/kalman.py", "eks_tpu/ops/linalg.py", "eks_tpu/core.py",
+        "eks_tpu/models/singlecam.py", "eks_tpu/utils/frames.py", "bench.py",
+    ]
+    h = hashlib.sha256()
+    for f in files:
+        with open(os.path.join(_REPO, f), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
 
 
 def make_session(rng):
@@ -193,17 +201,17 @@ def measure_accelerator(marker_arr):
 
 def measure_cpu_baseline(marker_arr):
     """Reference-equivalent: sequential scans on the CPU backend, optimizer
-    cost extrapolated from a short capped run. Re-measured whenever the git
-    commit changes."""
+    cost extrapolated from a short capped run. Re-measured whenever any
+    source the baseline path executes changes."""
     import jax
 
     key = f"T{T}_K{K}_S{SEEDS}_cap{SAFETY_CAP}"
-    head = _git_head()
+    code = _baseline_code_hash()
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cache = json.load(f)
         entry = cache.get(key)
-        if isinstance(entry, dict) and entry.get("commit") == head:
+        if isinstance(entry, dict) and entry.get("code") == code:
             return entry["elapsed"]
 
     cpu = jax.devices("cpu")[0]
@@ -224,7 +232,7 @@ def measure_cpu_baseline(marker_arr):
             cache = json.load(f)
     cache[key] = {
         "elapsed": est_full,
-        "commit": head,
+        "code": code,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     with open(CACHE, "w") as f:

@@ -26,6 +26,7 @@ from __future__ import annotations
 import logging
 import os
 import time
+from functools import partial
 from typing import Literal, Optional
 
 import jax
@@ -34,7 +35,8 @@ import numpy as np
 import pandas as pd
 from jax import vmap
 
-from eks_tpu.core import ensemble, run_kalman_smoother
+from eks_tpu.core import _ensemble_kernel, ensemble, run_kalman_smoother
+from eks_tpu.ops.linalg import highest_precision
 from eks_tpu.geometry import CameraGroup, make_projection_from_camgroup
 from eks_tpu.geometry.triangulate import triangulate_dlt
 from eks_tpu.marker_array import (
@@ -255,6 +257,24 @@ def ensemble_kalman_smoother_multicam(
 
     M, V, T, K, _ = marker_array.shape
     _t0_total = time.perf_counter()
+
+    # hot-path shortcut: the plain linear family (no calibration, no
+    # inflation, no injected PCA, no loss-frame cropping) runs prep +
+    # smoothing + packaging as three fused device programs with exactly one
+    # upload (raw predictions) and one download (the packaged tables) — the
+    # host-side ensemble->center->PCA round-trip of the general path below
+    # is the multicam family's residual transfer cost
+    if (
+        camgroup is None
+        and not inflate_vars
+        and pca_object is None
+        and not s_frames
+    ):
+        return _smoother_multicam_linear_fused(
+            marker_array, keypoint_names, smooth_param=smooth_param,
+            quantile_keep_pca=quantile_keep_pca, avg_mode=avg_mode,
+            var_mode=var_mode, n_latent=n_latent, total_t0=_t0_total,
+        )
 
     # ensemble + centering
     _t0 = time.perf_counter()
@@ -508,6 +528,208 @@ def initialize_kalman_filter_geometric(ys: np.ndarray) -> tuple:
         jnp.array(Qs),
         jnp.array(eye),
     )
+
+
+# --------------------------------------------------------------------------- #
+# fused linear path (device-resident prep + packaging)
+# --------------------------------------------------------------------------- #
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@highest_precision
+def _prep_multicam_linear(
+    data_x, data_y, data_lh, n_models, avg_mode, var_mode, n_latent, quantile
+):
+    """Device twin of ensemble() + center_predictions + compute_pca +
+    initialize_kalman_filter_pca for the linear multicam family, with no
+    intermediate host transfer.
+
+    The variance-quantile frame filter has data-dependent good-frame counts,
+    which would be dynamic shapes under jit; instead the good-row selection is
+    a {0,1} weight plane. The PCA fit stays an exact SVD because rows zeroed
+    AFTER centering contribute nothing to XᵀX — the right singular vectors and
+    singular values match the gathered submatrix exactly, so no dynamic-shape
+    gather is needed. Good-frame counts enter every mean/variance as traced
+    scalars (never static: they differ per session and would recompile).
+
+    Inputs (M, C, T, K) prediction planes; returns
+    (stats (C,T,K,5), ys (K,T,2C), evars (K,T,2C), m0s, S0s, As, Qs,
+    Cs (K,2C,L), means (C,K,2)).
+    """
+    stats = _ensemble_kernel(
+        data_x, data_y, data_lh, n_models, avg_mode, var_mode, 1000.0
+    )  # (C, T, K, 5)
+    preds = stats[..., :2]
+    variances = stats[..., 2:4]
+    C, T, K, _ = stats.shape
+    dt = preds.dtype
+
+    # frame filter: per-keypoint variance-quantile threshold on the max over
+    # cameras and x/y (reference: eks/utils.py:293-365)
+    max_vars = jnp.max(variances, axis=(0, 3))  # (T, K)
+    thresholds = jnp.percentile(max_vars, quantile, axis=0)  # (K,)
+    mask = max_vars <= thresholds  # (T, K)
+    counts = jnp.sum(mask, axis=0)  # (K,)
+    n_good = jnp.min(counts)
+    # every keypoint keeps its FIRST n_good valid frames (min-count
+    # truncation quirk); cumsum rank reproduces the stable-argsort selection
+    rank = jnp.cumsum(mask, axis=0)
+    w = (mask & (rank <= n_good)).astype(dt)  # (T, K)
+    denom = n_good.astype(dt)
+
+    means = jnp.einsum("tk,ctko->cko", w, preds) / denom  # (C, K, 2)
+    centered = preds - means[:, None]  # (C, T, K, 2)
+    X = jnp.transpose(centered, (2, 1, 0, 3)).reshape(K, T, 2 * C)  # ys
+    evars = jnp.transpose(variances, (2, 1, 0, 3)).reshape(K, T, 2 * C)
+
+    # PCA on the truncated good rows (sklearn PCA re-centers internally, so
+    # subtract the good-row column mean before masking)
+    wK = w.T[:, :, None]  # (K, T, 1)
+    col_mean = jnp.sum(X * wK, axis=1) / denom  # (K, 2C)
+    Xg_c = (X - col_mean[:, None, :]) * wK
+    _, _, vt = jnp.linalg.svd(Xg_c, full_matrices=False)
+    # sklearn svd_flip (v-based): max-|v| loading of each component positive
+    max_idx = jnp.argmax(jnp.abs(vt), axis=-1)
+    signs = jnp.sign(jnp.take_along_axis(vt, max_idx[..., None], axis=-1)[..., 0])
+    vt = vt * signs[:, :, None]
+    comps = vt[:, :n_latent, :]  # (K, L, 2C)
+    pcs_all = jnp.einsum("ktf,klf->ktl", X - col_mean[:, None, :], comps)
+
+    # KF init from each keypoint's own UNtruncated valid set
+    # (initialize_kalman_filter_pca semantics)
+    fmask = mask.T.astype(dt)  # (K, T)
+    cnt = counts.astype(dt)
+    mean_pc = jnp.einsum("kt,ktl->kl", fmask, pcs_all) / cnt[:, None]
+    dev = (pcs_all - mean_pc[:, None, :]) * fmask[:, :, None]
+    var_pc = jnp.einsum("ktl,ktl->kl", dev, dev) / cnt[:, None]  # ddof=0
+    S0s = var_pc[:, :, None] * jnp.eye(n_latent, dtype=dt)
+
+    def q_one(pcs_k, mask_k, cnt_k):
+        # np.cov (ddof=1) of lag-1 diffs over the COMPACTED good sequence:
+        # stable argsort pulls the valid rows to the front in time order
+        perm = jnp.argsort(~mask_k, stable=True)
+        ps = pcs_k[perm]
+        d = ps[1:] - ps[:-1]  # (T-1, L)
+        wd = (jnp.arange(d.shape[0], dtype=dt) < (cnt_k - 1)).astype(dt)[:, None]
+        n_d = cnt_k - 1.0
+        mu = jnp.sum(d * wd, axis=0) / n_d
+        dc = (d - mu) * wd
+        cov = dc.T @ dc / (n_d - 1.0)
+        peak = jnp.max(jnp.abs(cov))
+        return jnp.where(peak > 0, cov / peak, cov)
+
+    Qs = vmap(q_one)(pcs_all, mask.T, cnt)
+    m0s = jnp.zeros((K, n_latent), dtype=dt)
+    As = jnp.broadcast_to(jnp.eye(n_latent, dtype=dt), (K, n_latent, n_latent))
+    Cs = jnp.swapaxes(comps, 1, 2)  # (K, 2C, L)
+    return stats, X, evars, m0s, S0s, As, Qs, Cs, means
+
+
+@jax.jit
+def _package_multicam_smoothed(means, Cs, ms, Vs, evars):
+    """Device packaging of the smoother-dependent per-camera block:
+    reproject the latent through C, re-add centering means, and apply the
+    posterior-var + ensemble-var quirk. Returns (C, T, K, 4) as
+    [x, y, x_posterior_var, y_posterior_var]; the five ensemble-stat
+    columns ship to host separately (overlapped with the optimizer)."""
+    y_m = jnp.einsum("koj,ktj->kto", Cs, ms)  # (K, T, 2C)
+    y_v = jnp.einsum("koj,ktjl,kol->kto", Cs, Vs, Cs)
+    post = y_v + evars  # posterior var + ensemble var (reference quirk)
+
+    def cam(c):
+        xi, yi = 2 * c, 2 * c + 1
+        return jnp.stack(
+            [
+                y_m[:, :, xi].T + means[c, :, 0][None],
+                y_m[:, :, yi].T + means[c, :, 1][None],
+                post[:, :, xi].T,
+                post[:, :, yi].T,
+            ],
+            axis=-1,
+        )  # (T, K, 4)
+
+    return jnp.stack([cam(c) for c in range(means.shape[0])])
+
+
+@jax.jit
+def _package_3d(ms, Vs):
+    """(K, T, L) latents + (K, T, L, L) covs -> (T, K*(2L)) layout of the
+    3-D output dataframe: per keypoint [x, y, z, *_posterior_var]."""
+    diag = jnp.diagonal(Vs, axis1=-2, axis2=-1)  # (K, T, L)
+    arr = jnp.concatenate([ms, diag], axis=-1)  # (K, T, 2L)
+    K, T, F = arr.shape
+    return jnp.transpose(arr, (1, 0, 2)).reshape(T, K * F)
+
+
+def _smoother_multicam_linear_fused(
+    marker_array, keypoint_names, smooth_param, quantile_keep_pca,
+    avg_mode, var_mode, n_latent, total_t0,
+):
+    """Linear multicam smoother with device-resident prep and packaging.
+    Output contract identical to the general path (same columns, quirks)."""
+    M, V, T, K, _ = marker_array.shape
+    arr = np.asarray(marker_array.array)  # (M, C, T, K, 3)
+
+    _t0 = time.perf_counter()
+    stats, ys, evars, m0s, S0s, As, Qs, Cs, means = _prep_multicam_linear(
+        jnp.asarray(arr[..., 0]),
+        jnp.asarray(arr[..., 1]),
+        jnp.asarray(arr[..., 2]),
+        M, avg_mode, var_mode, int(n_latent), float(quantile_keep_pca),
+    )
+    logger.debug(f"[timing] fused device prep: {time.perf_counter() - _t0:.3f}s")
+
+    # the ensemble-stat output columns are final now; stream them to host
+    # under the optimizer (DMA overlaps compute)
+    stats.copy_to_host_async()
+
+    _t0 = time.perf_counter()
+    s_finals, ms, Vs = run_kalman_smoother(
+        ys=ys,
+        m0s=m0s, S0s=S0s, As=As, Qs=Qs, Cs=Cs,
+        ensemble_vars=jnp.swapaxes(evars, 0, 1),  # (T, K, 2C), device
+        smooth_param=smooth_param,
+    )
+    logger.debug(f"[timing] run_kalman_smoother: {time.perf_counter() - _t0:.3f}s")
+
+    _t0 = time.perf_counter()
+    sm4 = _package_multicam_smoothed(means, Cs, ms, Vs, evars)
+    arr_3d = (
+        _package_3d(ms, Vs)
+        if n_latent == 3
+        else jnp.zeros((T, K * 6), dtype=sm4.dtype)
+    )
+    # ONE batched pull of the smoother-dependent tables; the stats block is
+    # already on host (or en route via the async copy above)
+    sm4_np, arr_3d_np = jax.device_get((sm4, arr_3d))
+    stats_np = np.asarray(stats)
+
+    cols = make_dlc_pandas_index(keypoint_names, OUTPUT_LABELS)
+    camera_dfs = []
+    for c in range(V):
+        block = np.concatenate(
+            [
+                sm4_np[c][..., :2],  # x, y
+                stats_np[c][..., 4:5],  # likelihood
+                stats_np[c][..., 0:2],  # x_ens_median, y_ens_median
+                stats_np[c][..., 2:4],  # x_ens_var, y_ens_var
+                sm4_np[c][..., 2:4],  # x/y posterior var
+            ],
+            axis=-1,
+        )  # (T, K, 9)
+        camera_dfs.append(
+            pd.DataFrame(block.reshape(T, K * len(OUTPUT_LABELS)), columns=cols)
+        )
+    labels_3d = ["x", "y", "z", "x_posterior_var", "y_posterior_var", "z_posterior_var"]
+    df_3d = pd.DataFrame(
+        arr_3d_np, columns=make_dlc_pandas_index(keypoint_names, labels_3d)
+    )
+    logger.debug(
+        f"[timing] fused packaging + pull: {time.perf_counter() - _t0:.3f}s"
+    )
+    logger.debug(
+        f"[timing] ensemble_kalman_smoother_multicam total: "
+        f"{time.perf_counter() - total_t0:.3f}s"
+    )
+    return camera_dfs, s_finals, df_3d
 
 
 # --------------------------------------------------------------------------- #

@@ -150,6 +150,12 @@ def ensemble_kalman_smoother_singlecam(
         ens_vars_in = stats_host[..., 2:4]
     else:
         ys, ens_vars_in, S0s = ys_dev, stats[..., 2:4], S0s_dev
+        # five of the nine output columns depend only on the ensemble stats,
+        # which are final as soon as prep runs — start their D2H copy now so
+        # it rides the DMA engine UNDER the optimizer, leaving only the four
+        # smoother-dependent columns on the critical transfer path
+        stats.copy_to_host_async()
+        stats_host = None
 
     s_finals, ms, Vs = run_kalman_smoother(
         ys=ys,
@@ -166,14 +172,26 @@ def ensemble_kalman_smoother_singlecam(
         partition=partition,
     )
 
-    # device-side packaging: reprojection + the 9-label block assembled on
-    # device, then ONE D2H pull of the final (T, K*9) table. Transfers over a
-    # remote-attached chip dominate this pipeline, so bytes and round-trips
-    # are minimized (3 pulls / ~9 MB -> 1 pull / 7.2 MB per 10k-frame session)
-    final = _package_singlecam(
-        stats, means_dev, jnp.asarray(ms), jnp.asarray(Vs), jnp.asarray(eye)
+    # device-side packaging of the smoother-dependent block only
+    # (reprojection + posterior variance, (T, K, 4)); the stats block is
+    # already on host (or en route via the async copy above)
+    sm4 = _package_singlecam_smoothed(
+        means_dev, jnp.asarray(ms), jnp.asarray(Vs), jnp.asarray(eye)
     )
-    final_np = np.asarray(final)  # the single pull
+    sm4_np = np.asarray(sm4)  # the only end-of-pipeline pull
+    if stats_host is None:
+        stats_host = np.asarray(stats)  # async copy has landed by now
+
+    final_np = np.concatenate(
+        [
+            sm4_np[..., :2],  # x, y
+            stats_host[..., 4:5],  # likelihood
+            stats_host[..., 0:2],  # x_ens_median, y_ens_median
+            stats_host[..., 2:4],  # x_ens_var, y_ens_var
+            sm4_np[..., 2:4],  # x_posterior_var, y_posterior_var
+        ],
+        axis=-1,
+    )  # (T, K, 9)
 
     pdindex = make_dlc_pandas_index(keypoint_names, labels=OUTPUT_LABELS)
     markers_df = pd.DataFrame(
@@ -184,26 +202,19 @@ def ensemble_kalman_smoother_singlecam(
 
 
 @jax.jit
-def _package_singlecam(stats, means, ms, Vs, Cs):
-    """Output assembly on device: reproject y = C m / var = diag(C V Cᵀ)
-    (C = I for this family; general form kept for parity), re-add centering
-    means, and interleave the 9 OUTPUT_LABELS per keypoint -> (T, K, 9)."""
+def _package_singlecam_smoothed(means, ms, Vs, Cs):
+    """Device assembly of the smoother-dependent output block: reproject
+    y = C m / var = diag(C V Cᵀ) (C = I for this family; general form kept
+    for parity) and re-add centering means -> (T, K, 4) as
+    [x, y, x_posterior_var, y_posterior_var]. The five ensemble-stat columns
+    ship to host separately (overlapped with the optimizer)."""
     y_m = jnp.einsum("kij,ktj->kti", Cs, ms)  # (K, T, 2)
     y_v = jnp.einsum("kij,ktjl,kml->ktim", Cs, Vs, Cs)  # (K, T, 2, 2)
     smoothed = jnp.transpose(y_m, (1, 0, 2)) + means[None]  # (T, K, 2)
     postvar = jnp.stack(
         [y_v[:, :, 0, 0], y_v[:, :, 1, 1]], axis=-1
     ).transpose(1, 0, 2)  # (T, K, 2)
-    return jnp.concatenate(
-        [
-            smoothed,  # x, y
-            stats[..., 4:5],  # likelihood
-            stats[..., 0:2],  # x_ens_median, y_ens_median
-            stats[..., 2:4],  # x_ens_var, y_ens_var
-            postvar,  # x_posterior_var, y_posterior_var
-        ],
-        axis=-1,
-    )  # (T, K, 9)
+    return jnp.concatenate([smoothed, postvar], axis=-1)  # (T, K, 4)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))

@@ -1,17 +1,21 @@
-"""Multi-chip scaling: keypoint-axis data parallelism over a device mesh.
+"""Multi-chip scaling: keypoint-axis and time-axis sharding over a device mesh.
 
 Every keypoint's filter/optimizer lane is independent (the reference is
 single-device and batches with vmap only — SURVEY.md §2.3), so the natural
 multi-chip extension is sharding the (keypoints | blocks) leading axis over a
-1-D ``Mesh`` with ``jax.sharding.NamedSharding``; XLA partitions the vmapped
-programs with zero cross-device communication in the steady state. Uneven
-keypoint counts are padded by replicating lane 0 (results of padding lanes
-are discarded).
+1-D ``Mesh``. The batched programs are mapped per-device with ``jax.shard_map``
+(zero cross-device communication in the steady state): each device runs the
+fused Pallas kernels on its local lanes, and each device's optimizer loop
+stops when its own lanes converge. Uneven keypoint counts are padded by
+replicating lane 0 (results of padding lanes are discarded).
 
-Time-axis (sequence-parallel) sharding of the associative scan is the second
-axis of scale; the O(log T) prefix combine maps to XLA collective-permute
-chains under the SPMD partitioner. The keypoint axis is preferred while
-K >= n_devices, which holds for every bundled workload.
+Time-axis (sequence-parallel) sharding is the second axis of scale, for
+sessions too long for one chip's HBM or K < n_devices: there the inputs are
+device-put with the frame axis sharded and the SPMD partitioner inserts the
+cross-chunk collectives into the ``lax.associative_scan`` prefix combines
+(``run_kalman_smoother(..., partition="time")`` is the product entry).
+The keypoint axis is preferred while K >= n_devices, which holds for every
+bundled workload.
 """
 
 from __future__ import annotations

@@ -48,6 +48,48 @@ def test_linear_smoother_runs(rng, inflate):
     assert df3d.shape == (100, 2 * 6)
 
 
+def test_fused_linear_path_matches_host_path(rng):
+    """The fused device prep/packaging path (taken automatically for the
+    plain linear family) must match the general host path. The host path is
+    forced with a no-op s_frames span, which disables the fused gate without
+    changing which frames the optimizer sees."""
+    ma = make_multicam_array(rng, M=5, C=2, T=300, K=4)
+    names = ["kp0", "kp1", "kp2", "kp3"]
+    dfs_f, s_f, d3_f = ensemble_kalman_smoother_multicam(
+        ma, names, CAMS, inflate_vars=False, n_latent=3
+    )
+    dfs_h, s_h, d3_h = ensemble_kalman_smoother_multicam(
+        ma, names, CAMS, inflate_vars=False, n_latent=3, s_frames=[(0, 300)]
+    )
+    np.testing.assert_allclose(s_f, s_h, rtol=1e-4)
+    for df_f, df_h in zip(dfs_f, dfs_h):
+        np.testing.assert_allclose(
+            df_f.to_numpy(), df_h.to_numpy(), rtol=0, atol=1e-4
+        )
+    np.testing.assert_allclose(
+        d3_f.to_numpy(), d3_h.to_numpy(), rtol=0, atol=1e-4
+    )
+
+
+def test_fused_linear_path_quantile_filter(rng):
+    """Fused path with a strict variance quantile (50%) still matches the
+    host path — exercises the masked-SVD PCA and traced good-frame counts."""
+    ma = make_multicam_array(rng, M=5, C=2, T=200, K=3, jitter=0.5)
+    names = ["kp0", "kp1", "kp2"]
+    dfs_f, s_f, _ = ensemble_kalman_smoother_multicam(
+        ma, names, CAMS, inflate_vars=False, n_latent=2, quantile_keep_pca=50
+    )
+    dfs_h, s_h, _ = ensemble_kalman_smoother_multicam(
+        ma, names, CAMS, inflate_vars=False, n_latent=2,
+        quantile_keep_pca=50, s_frames=[(0, 200)],
+    )
+    np.testing.assert_allclose(s_f, s_h, rtol=1e-4)
+    for df_f, df_h in zip(dfs_f, dfs_h):
+        np.testing.assert_allclose(
+            df_f.to_numpy(), df_h.to_numpy(), rtol=0, atol=1e-4
+        )
+
+
 def test_near_duplicate_seeds_small_variance(rng):
     # near-identical seeds -> tiny ensemble variance in outputs
     ma = make_multicam_array(rng, jitter=1e-4)
