@@ -130,7 +130,7 @@ def bench_multicam(rng, frames=10_000, kps=10):
         return time.perf_counter() - t0
 
     once()
-    return frames / once()
+    return frames / min(once() for _ in range(3))
 
 
 def bench_pupil(rng, frames=10_000):
@@ -162,7 +162,7 @@ def bench_pupil(rng, frames=10_000):
         return time.perf_counter() - t0
 
     once()
-    return frames / once()
+    return frames / min(once() for _ in range(3))
 
 
 def bench_paw(rng, frames=10_000, kps=4):
@@ -188,7 +188,7 @@ def bench_paw(rng, frames=10_000, kps=4):
         return time.perf_counter() - t0
 
     once()
-    return frames / once()
+    return frames / min(once() for _ in range(3))
 
 
 def measure_accelerator(marker_arr):
@@ -217,11 +217,17 @@ def measure_cpu_baseline(marker_arr):
     cpu = jax.devices("cpu")[0]
     short_cap = 3
     with jax.default_device(cpu):
-        # first call compiles; second measures
+        # first call compiles; best-of-2 measures (single-core wall clock on
+        # this box is noisy enough to swing the extrapolation otherwise)
         run_pipeline(marker_arr, sequential=True, safety_cap=1)
-        elapsed_short, _ = run_pipeline(marker_arr, sequential=True, safety_cap=short_cap)
-        # pure-smoother portion (cap=0 is invalid; approximate with cap=1 run)
-        elapsed_one, _ = run_pipeline(marker_arr, sequential=True, safety_cap=1)
+        elapsed_short = min(
+            run_pipeline(marker_arr, sequential=True, safety_cap=short_cap)[0]
+            for _ in range(2)
+        )
+        elapsed_one = min(
+            run_pipeline(marker_arr, sequential=True, safety_cap=1)[0]
+            for _ in range(2)
+        )
     per_iter = max(elapsed_short - elapsed_one, 1e-9) / (short_cap - 1)
     overhead = max(elapsed_one - per_iter, 0.0)
     est_full = overhead + per_iter * SAFETY_CAP
@@ -262,6 +268,7 @@ def main():
         baseline_elapsed = measure_cpu_baseline(marker_arr)
         vs_baseline = baseline_elapsed / elapsed
     except Exception:
+        baseline_elapsed = float("nan")
         vs_baseline = float("nan")
 
     print(
@@ -272,6 +279,7 @@ def main():
                 "value": round(frames_per_sec, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(vs_baseline, 2),
+                "baseline_cpu_s": round(baseline_elapsed, 1),
                 "families": families,
             }
         )

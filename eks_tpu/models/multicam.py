@@ -677,10 +677,6 @@ def _smoother_multicam_linear_fused(
     )
     logger.debug(f"[timing] fused device prep: {time.perf_counter() - _t0:.3f}s")
 
-    # the ensemble-stat output columns are final now; stream them to host
-    # under the optimizer (DMA overlaps compute)
-    stats.copy_to_host_async()
-
     _t0 = time.perf_counter()
     s_finals, ms, Vs = run_kalman_smoother(
         ys=ys,
@@ -697,10 +693,11 @@ def _smoother_multicam_linear_fused(
         if n_latent == 3
         else jnp.zeros((T, K * 6), dtype=sm4.dtype)
     )
-    # ONE batched pull of the smoother-dependent tables; the stats block is
-    # already on host (or en route via the async copy above)
-    sm4_np, arr_3d_np = jax.device_get((sm4, arr_3d))
-    stats_np = np.asarray(stats)
+    # ONE batched pull of everything host packaging needs (an overlapped
+    # copy_to_host_async of the stats under the optimizer measured slower on
+    # this remote-attached chip — the tunnel serializes transfers against
+    # dispatches)
+    sm4_np, arr_3d_np, stats_np = jax.device_get((sm4, arr_3d, stats))
 
     cols = make_dlc_pandas_index(keypoint_names, OUTPUT_LABELS)
     camera_dfs = []

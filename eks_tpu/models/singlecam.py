@@ -120,9 +120,9 @@ def ensemble_kalman_smoother_singlecam(
     """Array-level single-camera smoother.
 
     The prep (ensemble stats, centering, KF init) is ONE fused device kernel;
-    raw predictions are uploaded once and the ensemble summary comes back to
-    host only for output packaging — the optimizer and smoother consume
-    device-resident arrays directly (no host round-trip between stages).
+    raw predictions are uploaded once, the optimizer and smoother consume
+    device-resident arrays directly, and the output table ships to host as
+    one batched end-of-pipeline pull.
 
     Args:
         marker_array: (n_models, 1, T, K, 3) with fields [x, y, likelihood].
@@ -150,11 +150,6 @@ def ensemble_kalman_smoother_singlecam(
         ens_vars_in = stats_host[..., 2:4]
     else:
         ys, ens_vars_in, S0s = ys_dev, stats[..., 2:4], S0s_dev
-        # five of the nine output columns depend only on the ensemble stats,
-        # which are final as soon as prep runs — start their D2H copy now so
-        # it rides the DMA engine UNDER the optimizer, leaving only the four
-        # smoother-dependent columns on the critical transfer path
-        stats.copy_to_host_async()
         stats_host = None
 
     s_finals, ms, Vs = run_kalman_smoother(
@@ -173,14 +168,18 @@ def ensemble_kalman_smoother_singlecam(
     )
 
     # device-side packaging of the smoother-dependent block only
-    # (reprojection + posterior variance, (T, K, 4)); the stats block is
-    # already on host (or en route via the async copy above)
+    # (reprojection + posterior variance, (T, K, 4)); the ensemble-stat block
+    # is pulled alongside it. An overlapped copy_to_host_async of the stats
+    # under the optimizer was measured SLOWER on this remote-attached chip
+    # (the tunnel serializes the "async" transfer against dispatches), so
+    # both blocks ship at the end as one batched pull.
     sm4 = _package_singlecam_smoothed(
         means_dev, jnp.asarray(ms), jnp.asarray(Vs), jnp.asarray(eye)
     )
-    sm4_np = np.asarray(sm4)  # the only end-of-pipeline pull
     if stats_host is None:
-        stats_host = np.asarray(stats)  # async copy has landed by now
+        sm4_np, stats_host = jax.device_get((sm4, stats))
+    else:
+        sm4_np = np.asarray(sm4)
 
     final_np = np.concatenate(
         [

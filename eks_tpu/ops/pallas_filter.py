@@ -357,7 +357,8 @@ def kalman_filter_pallas(
 
     T = ys.shape[0]
     r = _as_time_varying(r_diag, T)
-    elems = _make_filter_elements(ys, m0, S0, A, Q, C, r)
+    # raw r: the builder hoists the innovation solve when R is constant
+    elems = _make_filter_elements(ys, m0, S0, A, Q, C, r_diag)
     ms, Ps = filter_prefix_pallas(elems, interpret=interpret)
 
     pred_m, pred_P = _predictive_moments(ms, Ps, m0, S0, A, Q)

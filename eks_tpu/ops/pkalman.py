@@ -225,26 +225,46 @@ def _combine_filter(e1: _FilterElement, e2: _FilterElement) -> _FilterElement:
 
 
 def _make_filter_elements(ys, m0, S0, A, Q, C, r) -> _FilterElementAoS:
-    """Build per-step filtering elements (vectorized over T, AoS layout)."""
+    """Build per-step filtering elements (vectorized over T, AoS layout).
+
+    ``r`` is the diagonal observation noise, (T, O) time-varying or (O,)
+    constant. The constant case (what the s-optimizer always passes — its R
+    is the time median) hoists the innovation solve: S, the gain, and every
+    matrix-valued element are time-invariant, leaving two matvecs per step.
+    """
     dim = m0.shape[0]
+    T = ys.shape[0]
     eye = jnp.eye(dim, dtype=ys.dtype)
 
     # generic element for t >= 1: predict with (A, Q), update with (C, r_t, y_t)
     CQ = C @ Q  # (O, D)
     CA = C @ A  # (O, D)
 
-    def generic(y_t, r_t):
-        S = CQ @ C.T + jnp.diag(r_t)  # (O, O)
+    if r.ndim == 1:
+        S = CQ @ C.T + jnp.diag(r)  # (O, O), time-invariant
         K = psd_solve(S, CQ).T  # (D, O) = Q Cᵀ S⁻¹
         IKC = eye - K @ C
-        A_el = IKC @ A
-        b_el = K @ y_t
-        C_el = IKC @ Q
-        eta_el = CA.T @ psd_solve(S, y_t)
-        J_el = CA.T @ psd_solve(S, CA)
-        return A_el, b_el, C_el, eta_el, J_el
+        M = psd_solve(S, CA)  # (O, D) = S⁻¹ C A
+        b_all = ys @ K.T  # (T, D)
+        eta_all = ys @ M  # y_tᵀ S⁻¹ CA == (CAᵀ S⁻¹ y_t)ᵀ (S symmetric)
+        A_all = jnp.broadcast_to(IKC @ A, (T, dim, dim))
+        C_all = jnp.broadcast_to(IKC @ Q, (T, dim, dim))
+        J_all = jnp.broadcast_to(CA.T @ M, (T, dim, dim))
+        r = jnp.broadcast_to(r, (T, r.shape[0]))
+    else:
 
-    A_all, b_all, C_all, eta_all, J_all = vmap(generic)(ys, r)
+        def generic(y_t, r_t):
+            S = CQ @ C.T + jnp.diag(r_t)  # (O, O)
+            K = psd_solve(S, CQ).T  # (D, O) = Q Cᵀ S⁻¹
+            IKC = eye - K @ C
+            A_el = IKC @ A
+            b_el = K @ y_t
+            C_el = IKC @ Q
+            eta_el = CA.T @ psd_solve(S, y_t)
+            J_el = CA.T @ psd_solve(S, CA)
+            return A_el, b_el, C_el, eta_el, J_el
+
+        A_all, b_all, C_all, eta_all, J_all = vmap(generic)(ys, r)
 
     # first element: update the prior (m0, S0) with y_0, no transition
     S_0 = C @ S0 @ C.T + jnp.diag(r[0])
@@ -312,7 +332,8 @@ def kalman_filter_parallel(
     T = ys.shape[0]
     r = _as_time_varying(r_diag, T)
 
-    elems = _make_filter_elements(ys, m0, S0, A, Q, C, r)
+    # pass the RAW r so the builder's constant-R fast path can trigger
+    elems = _make_filter_elements(ys, m0, S0, A, Q, C, r_diag)
     ms, Ps = _run_filter_prefix(elems)
     pred_m, pred_P = _predictive_moments(ms, Ps, m0, S0, A, Q)
 
