@@ -144,6 +144,35 @@ def test_parallel_long_sequence_stability(rng):
     )
 
 
+@pytest.mark.parametrize("D,O", [(2, 2), (3, 8)])
+def test_constant_r_hoisted_elements_match_broadcast(rng, D, O):
+    """The element builder's constant-R fast path (one hoisted innovation
+    solve instead of T) must agree with the broadcast time-varying path and
+    the f64 oracle."""
+    ys, m0, S0, A, Q, C, _ = make_problem(rng, T=150, D=D, O=O)
+    r_const = rng.uniform(0.1, 1.0, size=O)
+
+    args = (jnp.asarray(ys), jnp.asarray(m0), jnp.asarray(S0),
+            jnp.asarray(A), jnp.asarray(Q), jnp.asarray(C))
+    hoisted = kalman_filter_parallel(*args, jnp.asarray(r_const))
+    broadcast = kalman_filter_parallel(
+        *args, jnp.broadcast_to(jnp.asarray(r_const), (150, O))
+    )
+    np.testing.assert_allclose(
+        float(hoisted.log_likelihood), float(broadcast.log_likelihood),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        hoisted.filtered_means, broadcast.filtered_means, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        hoisted.filtered_covs, broadcast.filtered_covs, atol=1e-4
+    )
+    ll, ms, _, _, _ = oracle_filter_smoother(ys, m0, S0, A, Q, C, r_const)
+    np.testing.assert_allclose(float(hoisted.log_likelihood), ll, rtol=1e-4)
+    np.testing.assert_allclose(hoisted.filtered_means, ms, atol=1e-3)
+
+
 def test_nonlinear_emission_matches_linear():
     # h(x) = Cx given as a callable must reproduce the linear path exactly
     rng = np.random.default_rng(1)
