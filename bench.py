@@ -165,6 +165,52 @@ def bench_pupil(rng, frames=10_000):
     return frames / min(once() for _ in range(3))
 
 
+def bench_multicam_calibrated(rng, frames=10_000, kps=5):
+    """Calibrated (nonlinear EKF) multicam family on a synthetic 3-camera rig:
+    batched undistort+DLT prep, iterated parallel EKF, batched reprojection."""
+    import jax.numpy as jnp
+
+    from eks_tpu.geometry import Camera, CameraGroup
+    from eks_tpu.marker_array import MarkerArray
+    from eks_tpu.models.multicam import ensemble_kalman_smoother_multicam
+
+    M, C = 5, 3
+    cams = []
+    for c in range(C):
+        angle = 0.4 * (c - 1)
+        cams.append(
+            Camera(
+                name=f"cam{c}",
+                matrix=np.array([[900.0, 0, 320], [0, 900.0, 240], [0, 0, 1]]),
+                dist=np.array([-0.05, 0.01, 0.0, 0.0, 0.0]),
+                rvec=np.array([0.0, angle, 0.0]),
+                tvec=np.array([0.25 * (c - 1), 0.0, 2.5]),
+            )
+        )
+    group = CameraGroup(cams)
+
+    X = rng.normal(size=(frames, kps, 3)).cumsum(axis=0) * 0.002  # world tracks
+    arr = np.zeros((M, C, frames, kps, 3), dtype=np.float32)
+    for c, cam in enumerate(group.cameras):
+        uv = np.asarray(cam.projection_fn()(jnp.asarray(X.reshape(-1, 3))))
+        arr[:, c, :, :, :2] = uv.reshape(frames, kps, 2)[None] + rng.normal(
+            size=(M, frames, kps, 2)
+        )
+    arr[..., 2] = rng.uniform(0.8, 1.0, size=(M, C, frames, kps))
+    ma = MarkerArray(arr, data_fields=["x", "y", "likelihood"])
+    names = [f"kp{i}" for i in range(kps)]
+
+    def once():
+        t0 = time.perf_counter()
+        ensemble_kalman_smoother_multicam(
+            ma, names, [c.name for c in cams], smooth_param=5.0, camgroup=group
+        )
+        return time.perf_counter() - t0
+
+    once()
+    return frames / min(once() for _ in range(3))
+
+
 def bench_paw(rng, frames=10_000, kps=4):
     """IBL-paw-equivalent: the linear multicam path under var_mode='var' with
     a dummy-likelihood field, which is what the paw family delegates to after
@@ -256,6 +302,7 @@ def main():
     families = {}
     for name, fn in [
         ("multicam_linear", bench_multicam),
+        ("multicam_calibrated", bench_multicam_calibrated),
         ("ibl_pupil", bench_pupil),
         ("ibl_paw", bench_paw),
     ]:

@@ -7,7 +7,9 @@ from eks_tpu.geometry.camera import (
     make_projection_fn,
     make_projection_from_camgroup,
     parse_dist,
+    project_point,
     rodrigues,
+    stack_camera_params,
     undistort_points,
 )
 from eks_tpu.geometry.triangulate import triangulate_dlt
@@ -19,7 +21,9 @@ __all__ = [
     "make_projection_fn",
     "make_projection_from_camgroup",
     "parse_dist",
+    "project_point",
     "rodrigues",
+    "stack_camera_params",
     "undistort_points",
     "triangulate_dlt",
 ]

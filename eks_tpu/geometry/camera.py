@@ -33,6 +33,8 @@ __all__ = [
     "Camera",
     "CameraGroup",
     "make_projection_from_camgroup",
+    "stack_camera_params",
+    "project_point",
 ]
 
 
@@ -321,3 +323,36 @@ def make_projection_from_camgroup(camgroup: CameraGroup):
         return jnp.concatenate([h(x) for h in h_cams], axis=-1)
 
     return h_fn, h_cams
+
+
+def stack_camera_params(camgroup: CameraGroup):
+    """Stack a camera group's parameters into fixed-shape host arrays so
+    every per-camera geometry op can run as ONE batched device program
+    (vmapped over the camera axis) instead of C separate dispatches.
+
+    Returns (Ks (C, 3, 3), dists (C, 14) zero-padded, extr (C, 3, 4)).
+    """
+    Ks = np.stack([np.asarray(c.matrix, dtype=np.float64) for c in camgroup.cameras])
+    dists = np.zeros((len(camgroup.cameras), 14))
+    for i, c in enumerate(camgroup.cameras):
+        d = np.asarray(c.dist, dtype=np.float64).ravel()
+        dists[i, : d.shape[0]] = d[:14]
+    extr = np.stack([c.extrinsics() for c in camgroup.cameras])
+    return Ks, dists, extr
+
+
+def project_point(pt: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+                  K: jnp.ndarray, dist14: jnp.ndarray) -> jnp.ndarray:
+    """World point (3,) -> pixel (2,) with explicit camera parameters.
+
+    Same model as :func:`make_projection_fn` but parameter-passing instead of
+    closure-capturing, so it composes with ``vmap`` over a camera axis and
+    with ``jacfwd`` for covariance projection."""
+    d = parse_dist(dist14)
+    Xc = R @ pt + t
+    x = Xc[0] / Xc[2]
+    y = Xc[1] / Xc[2]
+    xd, yd = _distort(x, y, d)
+    u = K[0, 0] * xd + K[0, 1] * yd + K[0, 2]
+    v = K[1, 1] * yd + K[1, 2]
+    return jnp.stack([u, v])

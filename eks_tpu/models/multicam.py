@@ -37,7 +37,13 @@ from jax import vmap
 
 from eks_tpu.core import _ensemble_kernel, ensemble, run_kalman_smoother
 from eks_tpu.ops.linalg import highest_precision
-from eks_tpu.geometry import CameraGroup, make_projection_from_camgroup
+from eks_tpu.geometry import (
+    CameraGroup,
+    make_projection_from_camgroup,
+    project_point,
+    stack_camera_params,
+    undistort_points,
+)
 from eks_tpu.geometry.triangulate import triangulate_dlt
 from eks_tpu.marker_array import (
     MarkerArray,
@@ -274,6 +280,16 @@ def ensemble_kalman_smoother_multicam(
             marker_array, keypoint_names, smooth_param=smooth_param,
             quantile_keep_pca=quantile_keep_pca, avg_mode=avg_mode,
             var_mode=var_mode, n_latent=n_latent, total_t0=_t0_total,
+        )
+
+    # same idea for the calibrated family: undistort + DLT + geometric init
+    # run as one device program batched over cameras (the general path below
+    # pays C separate undistort round-trips), and the reprojection epilogue
+    # is one batched program instead of per-camera Jacobian dispatches
+    if camgroup is not None and not inflate_vars and not s_frames:
+        return _smoother_multicam_nonlinear_fused(
+            marker_array, keypoint_names, camgroup, smooth_param=smooth_param,
+            avg_mode=avg_mode, var_mode=var_mode, total_t0=_t0_total,
         )
 
     # ensemble + centering
@@ -699,6 +715,25 @@ def _smoother_multicam_linear_fused(
     # dispatches)
     sm4_np, arr_3d_np, stats_np = jax.device_get((sm4, arr_3d, stats))
 
+    camera_dfs = _assemble_camera_dfs(sm4_np, stats_np, keypoint_names)
+    labels_3d = ["x", "y", "z", "x_posterior_var", "y_posterior_var", "z_posterior_var"]
+    df_3d = pd.DataFrame(
+        arr_3d_np, columns=make_dlc_pandas_index(keypoint_names, labels_3d)
+    )
+    logger.debug(
+        f"[timing] fused packaging + pull: {time.perf_counter() - _t0:.3f}s"
+    )
+    logger.debug(
+        f"[timing] ensemble_kalman_smoother_multicam total: "
+        f"{time.perf_counter() - total_t0:.3f}s"
+    )
+    return camera_dfs, s_finals, df_3d
+
+
+def _assemble_camera_dfs(sm4_np, stats_np, keypoint_names) -> list:
+    """Interleave the smoother-dependent block (C, T, K, 4) with the ensemble
+    stats (C, T, K, 5) into one 9-column-per-keypoint DataFrame per camera."""
+    V, T, K, _ = sm4_np.shape
     cols = make_dlc_pandas_index(keypoint_names, OUTPUT_LABELS)
     camera_dfs = []
     for c in range(V):
@@ -715,12 +750,139 @@ def _smoother_multicam_linear_fused(
         camera_dfs.append(
             pd.DataFrame(block.reshape(T, K * len(OUTPUT_LABELS)), columns=cols)
         )
+    return camera_dfs
+
+
+# --------------------------------------------------------------------------- #
+# fused nonlinear (calibrated) path
+# --------------------------------------------------------------------------- #
+@partial(jax.jit, static_argnums=(3, 4, 5))
+@highest_precision
+def _prep_multicam_nonlinear(
+    data_x, data_y, data_lh, n_models, avg_mode, var_mode, Ks, dists, extr
+):
+    """Device twin of ensemble() + triangulate_3d_models +
+    initialize_kalman_filter_geometric for the calibrated family: one program,
+    no intermediate host transfer, the per-camera undistort vmapped over a
+    stacked camera axis instead of C separate dispatches.
+
+    Inputs: (M, C, T, K) prediction planes + stacked camera params
+    (Ks (C,3,3), dists (C,14), extr (C,3,4)). Returns
+    (stats (C,T,K,5), ys (K,T,2C) raw pixel obs, evars (K,T,2C),
+    m0s, S0s, As, Qs, Cs) with a 3-D identity emission placeholder —
+    the actual emission is the nonlinear projection h_fn.
+    """
+    stats = _ensemble_kernel(
+        data_x, data_y, data_lh, n_models, avg_mode, var_mode, 1000.0
+    )  # (C, T, K, 5)
+    preds = stats[..., :2]
+    variances = stats[..., 2:4]
+    C, T, K, _ = stats.shape
+    dt = preds.dtype
+    M = data_x.shape[0]
+
+    ys = jnp.transpose(preds, (2, 1, 0, 3)).reshape(K, T, 2 * C)
+    evars = jnp.transpose(variances, (2, 1, 0, 3)).reshape(K, T, 2 * C)
+
+    # triangulate every (model, keypoint, frame) in one batched DLT; flat
+    # point index is (m, k, t) to match triangulate_3d_models
+    pts = jnp.stack([data_x, data_y], axis=-1)  # (M, C, T, K, 2)
+    pts = jnp.transpose(pts, (1, 0, 3, 2, 4)).reshape(C, M * K * T, 2)
+    und = vmap(undistort_points)(pts, Ks, dists)  # (C, N, 2)
+    xyz = triangulate_dlt(und, extr)  # (N, 3)
+    ys_3d = xyz.reshape(M, K, T, 3).mean(axis=0)  # (K, T, 3)
+
+    # geometric init (initialize_kalman_filter_geometric semantics)
+    eye3 = jnp.eye(3, dtype=dt)
+    m0s = ys_3d[:, :10].mean(axis=1)
+    S0s = (jnp.nanvar(ys_3d, axis=1) + 1e-4)[:, :, None] * eye3
+    dxs = ys_3d[:, 1:] - ys_3d[:, :-1]
+    med = jnp.median(dxs, axis=1, keepdims=True)
+    mad = jnp.median(jnp.abs(dxs - med), axis=1) + 1e-12
+    qvar = jnp.maximum((1.4826 * mad) ** 2, 1e-8)
+    Qs = qvar[:, :, None] * eye3
+    As = jnp.broadcast_to(eye3, (K, 3, 3))
+    return stats, ys, evars, m0s, S0s, As, Qs, As
+
+
+@jax.jit
+@highest_precision
+def _package_multicam_nonlinear(ms, Vs, evars, Ks, dists, extr):
+    """Device reprojection epilogue for the calibrated family: project the
+    smoothed 3-D latents and their covariances through every camera in one
+    batched program. Returns (C, T, K, 4) as
+    [x, y, x_posterior_var, y_posterior_var]."""
+    K_, T, _ = ms.shape
+    Rs = extr[:, :, :3]
+    ts = extr[:, :, 3]
+    flat = ms.reshape(-1, 3)  # (N, 3), flat index (k, t)
+    Vflat = Vs.reshape(-1, 3, 3)
+
+    def cam_all(R, t, Km, d):
+        proj = vmap(lambda p: project_point(p, R, t, Km, d))(flat)  # (N, 2)
+        J = vmap(lambda p: jax.jacfwd(project_point)(p, R, t, Km, d))(flat)
+        pvar = jnp.einsum("nij,njl,nil->ni", J, Vflat, J)  # (N, 2)
+        return proj, pvar
+
+    proj, pvar = vmap(cam_all)(Rs, ts, Ks, dists)  # (C, N, 2) each
+
+    # reference quirk: EVERY camera's projected variance gets camera 0's
+    # x/y ensemble variance added — the reference passes the full (T, 2C)
+    # slab per keypoint and reads columns 0/1
+    # (eks/multicam_smoother.py:459-460, :944-945)
+    ev0 = evars[..., :2].reshape(-1, 2)  # (N, 2)
+    post = pvar + ev0[None]
+
+    out = jnp.concatenate([proj, post], axis=-1).reshape(-1, K_, T, 4)
+    return jnp.transpose(out, (0, 2, 1, 3))  # (C, T, K, 4)
+
+
+def _smoother_multicam_nonlinear_fused(
+    marker_array, keypoint_names, camgroup, smooth_param,
+    avg_mode, var_mode, total_t0,
+):
+    """Calibrated multicam smoother with device-resident prep and packaging.
+    Output contract identical to the general nonlinear path (same columns,
+    same cam-0 variance quirk); only the staging differs."""
+    M, V, T, K, _ = marker_array.shape
+    arr = np.asarray(marker_array.array)  # (M, C, T, K, 3)
+    Ks_np, dists_np, extr_np = stack_camera_params(camgroup)
+    Ks_j = jnp.asarray(Ks_np)
+    dists_j = jnp.asarray(dists_np)
+    extr_j = jnp.asarray(extr_np)
+
+    _t0 = time.perf_counter()
+    stats, ys, evars, m0s, S0s, As, Qs, Cs = _prep_multicam_nonlinear(
+        jnp.asarray(arr[..., 0]),
+        jnp.asarray(arr[..., 1]),
+        jnp.asarray(arr[..., 2]),
+        M, avg_mode, var_mode, Ks_j, dists_j, extr_j,
+    )
+    logger.debug(f"[timing] fused device prep (nonlinear): {time.perf_counter() - _t0:.3f}s")
+
+    h_fn, _ = make_projection_from_camgroup(camgroup)
+    _t0 = time.perf_counter()
+    s_finals, ms, Vs = run_kalman_smoother(
+        ys=ys,
+        m0s=m0s, S0s=S0s, As=As, Qs=Qs, Cs=Cs,
+        ensemble_vars=jnp.swapaxes(evars, 0, 1),  # (T, K, 2C), device
+        smooth_param=smooth_param,
+        h_fn=h_fn,
+    )
+    logger.debug(f"[timing] run_kalman_smoother: {time.perf_counter() - _t0:.3f}s")
+
+    _t0 = time.perf_counter()
+    sm4 = _package_multicam_nonlinear(ms, Vs, evars, Ks_j, dists_j, extr_j)
+    arr_3d = _package_3d(ms, Vs)
+    sm4_np, arr_3d_np, stats_np = jax.device_get((sm4, arr_3d, stats))
+
+    camera_dfs = _assemble_camera_dfs(sm4_np, stats_np, keypoint_names)
     labels_3d = ["x", "y", "z", "x_posterior_var", "y_posterior_var", "z_posterior_var"]
     df_3d = pd.DataFrame(
         arr_3d_np, columns=make_dlc_pandas_index(keypoint_names, labels_3d)
     )
     logger.debug(
-        f"[timing] fused packaging + pull: {time.perf_counter() - _t0:.3f}s"
+        f"[timing] fused packaging + pull (nonlinear): {time.perf_counter() - _t0:.3f}s"
     )
     logger.debug(
         f"[timing] ensemble_kalman_smoother_multicam total: "

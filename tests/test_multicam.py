@@ -263,6 +263,41 @@ def test_nonlinear_smoother_runs(rng):
         assert err < 0.1
 
 
+def test_fused_nonlinear_path_matches_host_path(rng):
+    """The fused calibrated path (batched undistort + DLT + geometric init +
+    reprojection on device) must match the general host-staged path. The host
+    path is forced with a no-op s_frames span."""
+    import jax
+
+    with jax.enable_x64():
+        group = _make_group(rng)
+        M, C, T, K = 3, 2, 60, 2
+        X = rng.normal(size=(T, K, 3)).cumsum(axis=0) * 0.01
+        arr = np.zeros((M, C, T, K, 3))
+        for c, cam in enumerate(group.cameras):
+            uv = np.asarray(cam.projection_fn()(jnp.asarray(X.reshape(-1, 3))))
+            arr[:, c, :, :, :2] = uv.reshape(T, K, 2)[None] + rng.normal(
+                size=(M, T, K, 2)
+            )
+        arr[..., 2] = 0.95
+        ma = MarkerArray(arr, data_fields=["x", "y", "likelihood"])
+        names = [c.name for c in group.cameras]
+        dfs_f, s_f, d3_f = ensemble_kalman_smoother_multicam(
+            ma, KPS, names, smooth_param=1.0, camgroup=group
+        )
+        dfs_h, s_h, d3_h = ensemble_kalman_smoother_multicam(
+            ma, KPS, names, smooth_param=1.0, camgroup=group, s_frames=[(0, T)]
+        )
+        np.testing.assert_allclose(s_f, s_h, rtol=1e-6)
+        for df_f, df_h in zip(dfs_f, dfs_h):
+            np.testing.assert_allclose(
+                df_f.to_numpy(), df_h.to_numpy(), rtol=0, atol=1e-4
+            )
+        np.testing.assert_allclose(
+            d3_f.to_numpy(), d3_h.to_numpy(), rtol=0, atol=1e-4
+        )
+
+
 @pytest.mark.skipif(not reference_data_available(), reason="reference data missing")
 def test_inflation_fixed_point_matches_sklearn_default(monkeypatch):
     """The reference fits FactorAnalysis with sklearn defaults (randomized SVD,
