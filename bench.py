@@ -9,14 +9,22 @@ multicam-linear, ibl-pupil, and ibl-paw-style throughput on the same frame
 count for regression tracking.
 
 The reference publishes no numbers (BASELINE.md), so the denominator is a
-measured reference-equivalent run: the same pipeline with the sequential
-lax.scan filter/smoother (the reference's dynamax semantics) pinned to the
-CPU backend. Its optimizer cost is extrapolated linearly from a short run
-(per-iteration cost x the accelerator run's iteration count) because the full
-CPU run takes tens of minutes. The CPU baseline is cached in
-.bench_baseline.json keyed by workload shape AND a hash of the sources the
-baseline path executes — it re-measures exactly when the measured code
-changes instead of trusting a stale number.
+measured re-creation of the reference's own hot loop (dynamax is not
+installed here): `_reference_equivalent_pipeline` reproduces
+`/root/reference/eks/core.py:560-699` — a jit(vmap) of an Adam(1.0)
+while_loop whose loss is REVERSE-mode `value_and_grad` through a sequential
+per-step EKF with full (O, O) innovation covariances and `cho_solve` per
+step (dynamax's `extended_kalman_filter` semantics, AoS layout), followed by
+the sequential RTS smoother with time-varying full R. It runs on the CPU
+backend to the optimizer's natural convergence — the same iterates and stop
+rule as the accelerator run, no extrapolation. (Earlier rounds reused this
+framework's own optimized SoA/jvp core with sequential scans as the
+denominator and extrapolated the optimizer to the 300-iteration safety cap —
+the former undercounts the reference's per-step LAPACK cost, the latter
+overstates iterations ~3.5x; both replaced by the faithful measure on
+2026-08-17.) The CPU baseline is cached in .bench_baseline.json keyed by
+workload shape AND a hash of bench.py — it re-measures when the measured
+code changes instead of trusting a stale number.
 """
 
 import json
@@ -39,21 +47,194 @@ CACHE = os.path.join(_REPO, ".bench_baseline.json")
 
 
 def _baseline_code_hash() -> str:
-    """Hash of the sources the CPU-baseline run actually executes. The
-    baseline re-measures when any of these change; unrelated commits reuse
-    the cached number (a git-commit key would re-pay the ~10-minute CPU
-    measure on every commit)."""
+    """Hash of the sources the CPU-baseline run actually executes (the
+    dynamax-equivalent path lives in this file; prep comes from the package).
+    The baseline re-measures when any of these change; unrelated commits
+    reuse the cached number."""
     import hashlib
 
     files = [
-        "eks_tpu/ops/kalman.py", "eks_tpu/ops/linalg.py", "eks_tpu/core.py",
-        "eks_tpu/models/singlecam.py", "eks_tpu/utils/frames.py", "bench.py",
+        "eks_tpu/core.py", "eks_tpu/models/singlecam.py",
+        "eks_tpu/utils/frames.py", "bench.py",
     ]
     h = hashlib.sha256()
     for f in files:
         with open(os.path.join(_REPO, f), "rb") as fh:
             h.update(fh.read())
     return h.hexdigest()[:16]
+
+
+# --------------------------------------------------------------------------- #
+# reference-equivalent CPU pipeline (dynamax semantics, see module docstring)
+# --------------------------------------------------------------------------- #
+def _make_ref_programs():
+    """Jitted twins of the reference's fast path
+    (/root/reference/eks/core.py:560-699 + dynamax EKF/RTS internals):
+    sequential per-step scans, full (O, O) innovation covariances solved with
+    cho_solve each step, REVERSE-mode value_and_grad, Adam(1.0) on lr-scaled
+    grads with the reference's stop rule. The iteration cap is traced so
+    different caps share one compilation."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import lax, value_and_grad, vmap
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    LOG2PI = float(np.log(2.0 * np.pi))
+
+    def ekf_nll(y, m0, S0, A, Q, C, R):  # R (O, O) constant
+        O = y.shape[-1]
+
+        def step(carry, y_t):
+            m, P, ll = carry
+            mp = A @ m
+            Pp = A @ P @ A.T + Q
+            S = C @ Pp @ C.T + R
+            cf = cho_factor(S, lower=True)
+            innov = y_t - C @ mp
+            Kt = cho_solve(cf, C @ Pp)  # (O, D)
+            m_new = mp + Kt.T @ innov
+            P_new = Pp - Kt.T @ (C @ Pp)
+            logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(cf[0]))))
+            ll_t = -0.5 * (innov @ cho_solve(cf, innov) + logdet + O * LOG2PI)
+            return (m_new, P_new, ll + ll_t), None
+
+        (_, _, ll), _ = lax.scan(step, (m0, S0, jnp.asarray(0.0, y.dtype)), y)
+        nll = -ll
+        return jnp.where(jnp.isfinite(nll), nll, 1e12)
+
+    @jax.jit
+    def optimize_all(yK, RK, m0K, S0K, AK, QK, CK, s_log0K, cap):
+        def optimize_one(y, R, m0, S0, A, Q, C, s_log0):
+            def loss(s_log):
+                s = jnp.exp(jnp.clip(s_log, -8.0, 8.0))
+                return ekf_nll(y, m0, S0, A, s * Q, C, R)
+
+            lg = value_and_grad(loss)
+            opt = optax.adam(1.0)
+            opt_state = opt.init(s_log0)
+
+            def cond(carry):
+                _, _, prev, iters, done = carry
+                return jnp.logical_and(~done, iters < cap)
+
+            def body(carry):
+                s_log, opt_state, prev, iters, _ = carry
+                val, grad = lg(s_log)
+                updates, opt_state = opt.update(grad * 0.25, opt_state)
+                s_log = optax.apply_updates(s_log, updates)
+                rel_tol = 1e-2 * jnp.abs(jnp.log(jnp.maximum(prev, 1e-12)))
+                stop = jnp.where(
+                    jnp.isfinite(prev), jnp.abs(val - prev) < (rel_tol + 1e-6), False
+                )
+                return (s_log, opt_state, val, iters + 1, stop)
+
+            s_log_f, _, _, iters_f, _ = lax.while_loop(
+                cond, body,
+                (s_log0, opt_state, jnp.inf, jnp.array(0), jnp.array(False)),
+            )
+            return s_log_f, iters_f
+
+        return vmap(optimize_one)(yK, RK, m0K, S0K, AK, QK, CK, s_log0K)
+
+    @jax.jit
+    def smooth_all(yK, RtK, m0K, S0K, AK, QK, CK, sK):
+        def smooth_one(y, R_t, m0, S0, A, Q, C, s):
+            Qs_ = s * Q
+
+            def fstep(carry, inp):
+                m, P = carry
+                y_t, R_full = inp
+                mp = A @ m
+                Pp = A @ P @ A.T + Qs_
+                S = C @ Pp @ C.T + R_full
+                cf = cho_factor(S, lower=True)
+                Kt = cho_solve(cf, C @ Pp)
+                m_new = mp + Kt.T @ (y_t - C @ mp)
+                P_new = Pp - Kt.T @ (C @ Pp)
+                return (m_new, P_new), (m_new, P_new, mp, Pp)
+
+            _, (fm, fP, pm, pP) = lax.scan(fstep, (m0, S0), (y, R_t))
+
+            def bstep(carry, inp):
+                sm, sP = carry
+                fm_t, fP_t, pm_n, pP_n = inp
+                cf = cho_factor(pP_n, lower=True)
+                G = cho_solve(cf, A @ fP_t).T  # (D, D)
+                sm_t = fm_t + G @ (sm - pm_n)
+                sP_t = fP_t + G @ (sP - pP_n) @ G.T
+                return (sm_t, sP_t), (sm_t, sP_t)
+
+            init = (fm[-1], fP[-1])
+            _, (sm, sP) = lax.scan(
+                bstep,
+                init,
+                (fm[:-1], fP[:-1], pm[1:], pP[1:]),
+                reverse=True,
+            )
+            sm = jnp.concatenate([sm, fm[-1:]], axis=0)
+            sP = jnp.concatenate([sP, fP[-1:]], axis=0)
+            return sm, sP
+
+        return vmap(smooth_one)(yK, RtK, m0K, S0K, AK, QK, CK, sK)
+
+    return optimize_all, smooth_all
+
+
+def _reference_equivalent_pipeline(marker_arr, cap: int):
+    """ensemble -> reverse-AD sequential-EKF s-optimization -> sequential RTS
+    smoother with time-varying full R, mirroring the reference's fast path.
+    Returns (elapsed_s, joint_iters)."""
+    import jax.numpy as jnp
+
+    from eks_tpu.core import compute_initial_guesses, ensemble
+    from eks_tpu.marker_array import MarkerArray
+    from eks_tpu.models.singlecam import initialize_kalman_filter
+    from eks_tpu.utils import center_predictions
+
+    global _REF_PROGRAMS
+    if _REF_PROGRAMS is None:
+        _REF_PROGRAMS = _make_ref_programs()
+    optimize_all, smooth_all = _REF_PROGRAMS
+
+    ma = MarkerArray(marker_arr, data_fields=["x", "y", "likelihood"])
+    t0 = time.perf_counter()
+    emA = ensemble(ma)
+    ens_vars = emA.slice_fields("var_x", "var_y").array[0, 0]  # (T, K, O)
+    _, emA_centered, _, _ = center_predictions(emA, 100)
+    ys = np.transpose(emA_centered.array[0, 0], (1, 0, 2))  # (K, T, O)
+    m0s, S0s, As, Qs, Cs = initialize_kalman_filter(emA_centered)
+
+    K_ = ys.shape[0]
+    vars_np = np.clip(np.swapaxes(np.asarray(ens_vars), 0, 1), 1e-12, None)
+    r_const = np.clip(np.nanmedian(vars_np, axis=1), 1e-4, np.inf)  # (K, O)
+    R_const = np.stack([np.diag(r) for r in r_const])  # (K, O, O)
+    s_guess = np.array(
+        [
+            g if np.isfinite(g) and g > 0 else 2.0
+            for g in (compute_initial_guesses(ens_vars[:, k, :]) for k in range(K_))
+        ]
+    )
+    s_log0 = np.log(np.clip(s_guess, 1e-6, 1e3)).astype(np.float32)
+
+    s_log_f, iters = optimize_all(
+        jnp.asarray(ys), jnp.asarray(R_const), m0s, S0s, As, Qs, Cs,
+        jnp.asarray(s_log0), jnp.asarray(cap),
+    )
+    s_fin = jnp.exp(jnp.clip(s_log_f, -8.0, 8.0))
+
+    R_t = np.zeros((K_, vars_np.shape[1], vars_np.shape[2], vars_np.shape[2]),
+                   dtype=np.float32)
+    for o in range(vars_np.shape[2]):
+        R_t[:, :, o, o] = vars_np[:, :, o]
+    ms, Vs = smooth_all(
+        jnp.asarray(ys), jnp.asarray(R_t), m0s, S0s, As, Qs, Cs, s_fin
+    )
+    ms.block_until_ready()
+    return time.perf_counter() - t0, int(np.max(np.asarray(iters)))
+
+
+_REF_PROGRAMS = None
 
 
 def make_session(rng):
@@ -246,12 +427,16 @@ def measure_accelerator(marker_arr):
 
 
 def measure_cpu_baseline(marker_arr):
-    """Reference-equivalent: sequential scans on the CPU backend, optimizer
-    cost extrapolated from a short capped run. Re-measured whenever any
-    source the baseline path executes changes."""
+    """Reference-equivalent (dynamax semantics, see module docstring) on the
+    CPU backend, run to the optimizer's natural convergence — identical
+    iterates and stop rule to the accelerator run, no extrapolation. If the
+    projected full run exceeds a 15-minute budget, falls back to
+    per-iteration slope x 90 joint iterations (the measured convergence
+    point of this workload) and records the method used. Re-measured
+    whenever any source the baseline path executes changes."""
     import jax
 
-    key = f"T{T}_K{K}_S{SEEDS}_cap{SAFETY_CAP}"
+    key = f"T{T}_K{K}_S{SEEDS}_ref"
     code = _baseline_code_hash()
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -261,35 +446,34 @@ def measure_cpu_baseline(marker_arr):
             return entry["elapsed"]
 
     cpu = jax.devices("cpu")[0]
-    short_cap = 3
     with jax.default_device(cpu):
-        # first call compiles; best-of-2 measures (single-core wall clock on
-        # this box is noisy enough to swing the extrapolation otherwise)
-        run_pipeline(marker_arr, sequential=True, safety_cap=1)
-        elapsed_short = min(
-            run_pipeline(marker_arr, sequential=True, safety_cap=short_cap)[0]
-            for _ in range(2)
-        )
-        elapsed_one = min(
-            run_pipeline(marker_arr, sequential=True, safety_cap=1)[0]
-            for _ in range(2)
-        )
-    per_iter = max(elapsed_short - elapsed_one, 1e-9) / (short_cap - 1)
-    overhead = max(elapsed_one - per_iter, 0.0)
-    est_full = overhead + per_iter * SAFETY_CAP
+        _reference_equivalent_pipeline(marker_arr, cap=1)  # compile
+        t1, _ = _reference_equivalent_pipeline(marker_arr, cap=1)
+        t6, _ = _reference_equivalent_pipeline(marker_arr, cap=6)
+        per_iter = max((t6 - t1) / 5.0, 0.0)
+        projected = t1 + per_iter * 120
+        if projected <= 900.0:
+            elapsed, joint = _reference_equivalent_pipeline(
+                marker_arr, cap=SAFETY_CAP
+            )
+            method = f"measured full run ({joint} joint iters)"
+        else:
+            elapsed = t1 + per_iter * 89
+            method = "slope extrapolation to 90 joint iters"
 
     cache = {}
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cache = json.load(f)
     cache[key] = {
-        "elapsed": est_full,
+        "elapsed": elapsed,
         "code": code,
+        "method": method,
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
     }
     with open(CACHE, "w") as f:
         json.dump(cache, f)
-    return est_full
+    return elapsed
 
 
 def main():

@@ -287,12 +287,14 @@ def _pupil_optimize_jit(
         v = -res.log_likelihood
         return jnp.where(jnp.isfinite(v), v, 1e12)
 
-    # two parameters -> forward-mode gradient (2 jvp passes) instead of one
-    # reverse sweep with full residual storage through the prefix scan
+    # two parameters -> forward-mode gradient (2 jvp lanes) instead of one
+    # reverse sweep with full residual storage through the prefix scan; the
+    # two directional derivatives run as ONE vmapped evaluation (parallel
+    # lanes on device) rather than two serialized filter passes
     def loss_and_grad(u):
-        loss, g0 = jax.jvp(nll, (u,), (jnp.array([1.0, 0.0], dtype=u.dtype),))
-        _, g1 = jax.jvp(nll, (u,), (jnp.array([0.0, 1.0], dtype=u.dtype),))
-        return loss, jnp.stack([g0, g1])
+        tangents = jnp.eye(2, dtype=u.dtype)
+        losses, grads = jax.vmap(lambda t: jax.jvp(nll, (u,), (t,)))(tangents)
+        return losses[0], grads
     opt = optax.adam(lr)
     opt_state0 = opt.init(u0)
 
