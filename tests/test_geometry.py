@@ -284,3 +284,48 @@ def test_rational_k456_divergence_from_reference_model():
         np.testing.assert_allclose(
             np.asarray(proj5(jnp.asarray(X))), uv_cv5.reshape(-1, 2), atol=1e-6
         )
+
+
+def test_project_point_matches_projection_fn(rng):
+    """The parameter-passing point projector (what the fused calibrated path
+    vmaps over cameras) must agree with the closure-built projection_fn."""
+    from eks_tpu.geometry import project_point, stack_camera_params
+
+    with jax.enable_x64():
+        cams = []
+        for c in range(3):
+            rvec, tvec, K, dist = _random_cam(np.random.default_rng(10 + c))
+            cams.append(Camera(name=f"c{c}", matrix=K, dist=dist, rvec=rvec, tvec=tvec))
+        group = CameraGroup(cams)
+        Ks, dists, extr = stack_camera_params(group)
+        X = rng.normal(size=(50, 3)) * 0.3 + np.array([0, 0, 0.5])
+
+        for c, cam in enumerate(cams):
+            want = np.asarray(cam.projection_fn()(jnp.asarray(X)))
+            got = np.asarray(
+                jax.vmap(
+                    lambda p: project_point(
+                        p,
+                        jnp.asarray(extr[c, :, :3]),
+                        jnp.asarray(extr[c, :, 3]),
+                        jnp.asarray(Ks[c]),
+                        jnp.asarray(dists[c]),
+                    )
+                )(jnp.asarray(X))
+            )
+            np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_stack_camera_params_shapes():
+    group = CameraGroup.load(FLY_CALIB)
+    from eks_tpu.geometry import stack_camera_params
+
+    Ks, dists, extr = stack_camera_params(group)
+    C = len(group.cameras)
+    assert Ks.shape == (C, 3, 3)
+    assert dists.shape == (C, 14)
+    assert extr.shape == (C, 3, 4)
+    for c, cam in enumerate(group.cameras):
+        np.testing.assert_allclose(extr[c], cam.extrinsics())
+        np.testing.assert_allclose(Ks[c], cam.matrix)
+        np.testing.assert_allclose(dists[c, : cam.dist.size], cam.dist)
