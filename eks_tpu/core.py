@@ -178,6 +178,20 @@ def _device_s_guesses(ev_tko: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(std * 1e5) / 1e5
 
 
+def _as_traceable_emission(h_fn):
+    """Emission functions ride through jit as *traced* pytree arguments.
+
+    A ``jax.tree_util.Partial`` over a module-level projector (see
+    geometry.camera.make_projection_from_camgroup) keys the jit cache on the
+    stable function identity + parameter shapes, so every session with the
+    same camera count shares ONE compilation. A plain closure is wrapped into
+    an argument-less Partial — legal as an operand, cached by closure
+    identity (the old static-arg behavior)."""
+    if h_fn is None or isinstance(h_fn, jax.tree_util.Partial):
+        return h_fn
+    return jax.tree_util.Partial(h_fn)
+
+
 # --------------------------------------------------------------------------- #
 # the optimizer: one jitted padded-vmap program for any block structure
 # --------------------------------------------------------------------------- #
@@ -196,7 +210,7 @@ def _filter_nll(y, m0, S0, A, Q, C, r, h_fn, sequential):
 
 @partial(
     jax.jit,
-    static_argnames=("h_fn", "sequential", "lr", "s_lo", "s_hi", "tol", "safety_cap"),
+    static_argnames=("sequential", "lr", "s_lo", "s_hi", "tol", "safety_cap"),
 )
 @highest_precision
 def _optimize_blocks(
@@ -300,6 +314,7 @@ def optimize_smooth_param(
     cropping is requested) the constant-R reduction runs on device with no
     host pull."""
     K = ys.shape[0]
+    h_fn = _as_traceable_emission(h_fn)
     if not blocks:
         blocks = [[k] for k in range(K)]
     logger.debug(f"keypoint block structure for shared s: {blocks}")
@@ -420,7 +435,7 @@ def optimize_smooth_param(
 # --------------------------------------------------------------------------- #
 # final smoothing pass
 # --------------------------------------------------------------------------- #
-@partial(jax.jit, static_argnames=("h_fn", "sequential"))
+@partial(jax.jit, static_argnames=("sequential",))
 @highest_precision
 def _smooth_all(ys, m0s, S0s, As, Qs, Cs, s_finals, rs, h_fn=None, sequential=False):
     def smooth_one(y, m0, S0, A, Q, C, s, r):
@@ -475,6 +490,7 @@ def run_kalman_smoother(
         as possible (transfers dominate on remote-attached accelerators).
     """
     K, T, _ = ys.shape
+    h_fn = _as_traceable_emission(h_fn)
 
     if partition not in ("keypoint", "time"):
         raise ValueError(f"unknown partition {partition!r}: use 'keypoint' or 'time'")

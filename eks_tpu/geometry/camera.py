@@ -35,6 +35,7 @@ __all__ = [
     "make_projection_from_camgroup",
     "stack_camera_params",
     "project_point",
+    "project_multiview",
 ]
 
 
@@ -314,14 +315,45 @@ class CameraGroup:
         return np.asarray(triangulate_dlt(jnp.asarray(und), jnp.asarray(extr)))
 
 
+def project_multiview(rvecs, tvecs, Ks, dists, x: jnp.ndarray) -> jnp.ndarray:
+    """Multi-view projector with explicit parameters: world point ``x`` (3,)
+    -> concatenated pixels (2C,) in camera order.
+
+    Module-level so it can be bound with ``jax.tree_util.Partial`` and passed
+    *through* jit as a traced argument: the jit cache then keys on the stable
+    function identity + shapes, not on a per-call closure object, so repeated
+    sessions (or different calibrations of the same camera count) reuse one
+    compilation. Arithmetic mirrors :func:`make_projection_fn` per camera."""
+    outs = []
+    for c in range(Ks.shape[0]):
+        R = rodrigues(rvecs[c])
+        K, d = Ks[c], parse_dist(dists[c])
+        Xc = x @ R.T + tvecs[c]
+        xn = Xc[..., 0] / Xc[..., 2]
+        yn = Xc[..., 1] / Xc[..., 2]
+        xd, yd = _distort(xn, yn, d)
+        u = K[0, 0] * xd + K[0, 1] * yd + K[0, 2]
+        v = K[1, 1] * yd + K[1, 2]
+        outs.append(jnp.stack([u, v], axis=-1))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def make_projection_from_camgroup(camgroup: CameraGroup):
     """Combined multi-view projector ``h_fn: (3,) -> (2C,)`` plus per-camera
-    heads, for use as the EKF emission function."""
+    heads, for use as the EKF emission function.
+
+    ``h_fn`` is a ``jax.tree_util.Partial`` over :func:`project_multiview`
+    with the camera parameters as pytree leaves — a legal *traced* jit
+    argument, so the smoother/optimizer programs compile once per shape
+    rather than once per calibration closure."""
     h_cams = [cam.projection_fn() for cam in camgroup.cameras]
-
-    def h_fn(x: jnp.ndarray) -> jnp.ndarray:
-        return jnp.concatenate([h(x) for h in h_cams], axis=-1)
-
+    rvecs = np.stack([np.asarray(c.rvec, dtype=np.float64).ravel() for c in camgroup.cameras])
+    tvecs = np.stack([np.asarray(c.tvec, dtype=np.float64).ravel() for c in camgroup.cameras])
+    Ks, dists, _ = stack_camera_params(camgroup)
+    # leaves stay host-side numpy: uploaded on trace/call, never committed to
+    # the ambient default backend (matters when running under a CPU test mesh
+    # next to a real TPU — see parallel/mesh.py)
+    h_fn = jax.tree_util.Partial(project_multiview, rvecs, tvecs, Ks, dists)
     return h_fn, h_cams
 
 

@@ -130,8 +130,11 @@ def ensemble_kalman_smoother_singlecam(
     Returns:
         (markers_df, s_finals) — DataFrame with 9 labels per keypoint.
     """
+    import time as _time
+
     n_models, _, n_frames, n_keypoints, _ = marker_array.shape
 
+    _t0 = _time.perf_counter()
     arr = np.asarray(marker_array.array)  # (M, 1, T, K, 3) host
     stats, ys_dev, means_dev, S0s_dev = _prep_singlecam(
         jnp.asarray(arr[:, 0, :, :, 0]),
@@ -139,6 +142,7 @@ def ensemble_kalman_smoother_singlecam(
         jnp.asarray(arr[:, 0, :, :, 2]),
         n_models, avg_mode, var_mode,
     )
+    logger.debug(f"[timing] fused device prep (singlecam): {_time.perf_counter() - _t0:.3f}s")
 
     eye = np.tile(np.eye(2), (n_keypoints, 1, 1))
     m0s = np.zeros((n_keypoints, 2))
@@ -173,6 +177,7 @@ def ensemble_kalman_smoother_singlecam(
     # under the optimizer was measured SLOWER on this remote-attached chip
     # (the tunnel serializes the "async" transfer against dispatches), so
     # both blocks ship at the end as one batched pull.
+    _t0 = _time.perf_counter()
     sm4 = _package_singlecam_smoothed(
         means_dev, jnp.asarray(ms), jnp.asarray(Vs), jnp.asarray(eye)
     )
@@ -180,7 +185,9 @@ def ensemble_kalman_smoother_singlecam(
         sm4_np, stats_host = jax.device_get((sm4, stats))
     else:
         sm4_np = np.asarray(sm4)
+    logger.debug(f"[timing] packaging + pull (singlecam): {_time.perf_counter() - _t0:.3f}s")
 
+    _t0 = _time.perf_counter()
     final_np = np.concatenate(
         [
             sm4_np[..., :2],  # x, y
@@ -197,6 +204,7 @@ def ensemble_kalman_smoother_singlecam(
         final_np.reshape(n_frames, n_keypoints * len(OUTPUT_LABELS)),
         columns=pdindex,
     )
+    logger.debug(f"[timing] host table assembly (singlecam): {_time.perf_counter() - _t0:.3f}s")
     return markers_df, s_finals
 
 

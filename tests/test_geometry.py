@@ -329,3 +329,37 @@ def test_stack_camera_params_shapes():
         np.testing.assert_allclose(extr[c], cam.extrinsics())
         np.testing.assert_allclose(Ks[c], cam.matrix)
         np.testing.assert_allclose(dists[c, : cam.dist.size], cam.dist)
+
+
+def test_multiview_projector_is_traceable_partial(rng):
+    """h_fn from make_projection_from_camgroup is a tree_util.Partial over a
+    module-level projector: it must (a) agree with the per-camera closure
+    heads and (b) share ONE jit compilation across different calibrations of
+    the same camera count (the cache keys on shapes, not closure identity)."""
+    from eks_tpu.geometry import make_projection_from_camgroup
+
+    x = jnp.asarray([0.1, -0.2, 3.0])
+    with jax.enable_x64():
+        # build inside x64 so the closure heads' captured constants are f64
+        group = CameraGroup.load(FLY_CALIB)
+        h_fn, h_cams = make_projection_from_camgroup(group)
+        assert isinstance(h_fn, jax.tree_util.Partial)
+        want = jnp.concatenate([h(jnp.asarray(x, jnp.float64)) for h in h_cams])
+        got = h_fn(jnp.asarray(x, jnp.float64))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+
+    calls = {"n": 0}
+
+    @jax.jit
+    def consume(h, p):
+        calls["n"] += 1
+        return h(p)
+
+    consume(h_fn, x)
+    group2 = CameraGroup.load(FLY_CALIB)
+    for cam in group2.cameras:
+        cam.tvec = np.asarray(cam.tvec) + 0.01
+    h_fn2, _ = make_projection_from_camgroup(group2)
+    out2 = consume(h_fn2, x)
+    assert calls["n"] == 1, "second calibration retraced the jitted consumer"
+    assert np.all(np.isfinite(np.asarray(out2)))
