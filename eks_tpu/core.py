@@ -361,13 +361,25 @@ def optimize_smooth_param(
     # stays f64 — dtype-homogeneous either way)
     idx = np.zeros((n_blocks, b_max), dtype=int)
     mask = np.zeros((n_blocks, b_max), dtype=np.float64)
-    s_log_init = np.zeros(n_blocks, dtype=np.float64)
     for i, b in enumerate(blocks):
         idx[i, : len(b)] = b
         idx[i, len(b):] = b[0]
         mask[i, : len(b)] = 1.0
-        s0 = float(np.mean([s_guess_per_k[k] for k in b]))
-        s_log_init[i] = np.log(np.clip(s0, 1e-6, 1e3))
+
+    if isinstance(s_guess_per_k, jnp.ndarray) and mesh is None:
+        # guesses never left the device: fold them into log-s inits there too
+        # (a host pull of even (K,) floats blocks on the whole prep chain —
+        # one tunnel round-trip, ~0.5s on the remote-attached chip)
+        gB = s_guess_per_k[jnp.asarray(idx)]  # (n_blocks, B_max)
+        mB = jnp.asarray(mask, dtype=gB.dtype)
+        s0 = jnp.sum(gB * mB, axis=1) / jnp.sum(mB, axis=1)
+        s_log_init = jnp.log(jnp.clip(s0, 1e-6, 1e3))
+    else:
+        s_guess_np = np.asarray(s_guess_per_k)
+        s_log_init = np.zeros(n_blocks, dtype=np.float64)
+        for i, b in enumerate(blocks):
+            s0 = float(np.mean([s_guess_np[k] for k in b]))
+            s_log_init[i] = np.log(np.clip(s0, 1e-6, 1e3))
 
     # gather block members; device arrays are gathered on device (no pull).
     # With a mesh the gather stays host-side: the upload happens once, sharded
@@ -564,10 +576,12 @@ def _run_kalman_smoother_impl(
             raise ValueError(
                 "Initial-s heuristic needs at least two frames of ensemble variance."
             )
-        # device prep: only the K initial guesses come back to host (tiny)
+        # device prep: the guesses STAY on device — pulling even a (K,) array
+        # here costs a full tunnel round-trip that also blocks on the prep
+        # kernel chain (measured ~0.5s of a 1.7s pipeline on the remote chip)
         ev = ensemble_vars  # (T, K, O), device
-        g = np.asarray(_device_s_guesses(ev))
-        s_guess = np.where(np.isfinite(g) & (g > 0.0), g, 2.0)
+        g = _device_s_guesses(ev)
+        s_guess = jnp.where(jnp.isfinite(g) & (g > 0.0), g, 2.0)
     else:
         # initial s guesses per keypoint (host; cheap)
         ev = np.asarray(ensemble_vars)

@@ -178,26 +178,34 @@ def ensemble_kalman_smoother_singlecam(
     # (the tunnel serializes the "async" transfer against dispatches), so
     # both blocks ship at the end as one batched pull.
     _t0 = _time.perf_counter()
-    sm4 = _package_singlecam_smoothed(
-        means_dev, jnp.asarray(ms), jnp.asarray(Vs), jnp.asarray(eye)
-    )
     if stats_host is None:
-        sm4_np, stats_host = jax.device_get((sm4, stats))
+        # one fused (T, K, 9) table in final column order -> ONE contiguous
+        # pull, and the host side reduces to a reshape (no concat copy)
+        final_np = np.asarray(_package_singlecam_full(
+            stats, means_dev, jnp.asarray(ms), jnp.asarray(Vs), jnp.asarray(eye)
+        ))
+        logger.debug(
+            f"[timing] packaging + pull (singlecam): {_time.perf_counter() - _t0:.3f}s"
+        )
     else:
-        sm4_np = np.asarray(sm4)
-    logger.debug(f"[timing] packaging + pull (singlecam): {_time.perf_counter() - _t0:.3f}s")
+        sm4_np = np.asarray(_package_singlecam_smoothed(
+            means_dev, jnp.asarray(ms), jnp.asarray(Vs), jnp.asarray(eye)
+        ))
+        logger.debug(
+            f"[timing] packaging + pull (singlecam): {_time.perf_counter() - _t0:.3f}s"
+        )
+        final_np = np.concatenate(
+            [
+                sm4_np[..., :2],  # x, y
+                stats_host[..., 4:5],  # likelihood
+                stats_host[..., 0:2],  # x_ens_median, y_ens_median
+                stats_host[..., 2:4],  # x_ens_var, y_ens_var
+                sm4_np[..., 2:4],  # x_posterior_var, y_posterior_var
+            ],
+            axis=-1,
+        )  # (T, K, 9)
 
     _t0 = _time.perf_counter()
-    final_np = np.concatenate(
-        [
-            sm4_np[..., :2],  # x, y
-            stats_host[..., 4:5],  # likelihood
-            stats_host[..., 0:2],  # x_ens_median, y_ens_median
-            stats_host[..., 2:4],  # x_ens_var, y_ens_var
-            sm4_np[..., 2:4],  # x_posterior_var, y_posterior_var
-        ],
-        axis=-1,
-    )  # (T, K, 9)
 
     pdindex = make_dlc_pandas_index(keypoint_names, labels=OUTPUT_LABELS)
     markers_df = pd.DataFrame(
@@ -206,6 +214,25 @@ def ensemble_kalman_smoother_singlecam(
     )
     logger.debug(f"[timing] host table assembly (singlecam): {_time.perf_counter() - _t0:.3f}s")
     return markers_df, s_finals
+
+
+@jax.jit
+def _package_singlecam_full(stats, means, ms, Vs, Cs):
+    """Assemble the COMPLETE (T, K, 9) output table on device in final column
+    order [x, y, likelihood, x_ens_median, y_ens_median, x_ens_var, y_ens_var,
+    x_posterior_var, y_posterior_var], so results ship as one contiguous
+    pull (two smaller pulls + a host concat each cost a tunnel round-trip)."""
+    sm4 = _package_singlecam_smoothed(means, ms, Vs, Cs)  # (T, K, 4)
+    return jnp.concatenate(
+        [
+            sm4[..., :2],
+            stats[..., 4:5],
+            stats[..., 0:2],
+            stats[..., 2:4],
+            sm4[..., 2:4],
+        ],
+        axis=-1,
+    )
 
 
 @jax.jit
