@@ -53,6 +53,7 @@ from eks_tpu.ops.linalg import highest_precision
 from eks_tpu.ops.pkalman import (
     ekf_parallel,
     eks_parallel,
+    filter_nll_parallel_planes_batched,
     kalman_filter_parallel,
     kalman_smoother_parallel,
 )
@@ -195,6 +196,39 @@ def _as_traceable_emission(h_fn):
 # --------------------------------------------------------------------------- #
 # the optimizer: one jitted padded-vmap program for any block structure
 # --------------------------------------------------------------------------- #
+_FORCE_PLANE_OPT: Optional[bool] = None
+
+
+def _plane_opt_enabled() -> bool:
+    """Whether the optimizer should take the joint plane-NLL path. TPU-only
+    by default (XLA:CPU's LLVM backend chokes on the plane graph — see
+    ``_optimize_blocks``); resolved at call time so it lands in the jit key
+    as the static ``joint`` argument."""
+    if _FORCE_PLANE_OPT is not None:
+        return _FORCE_PLANE_OPT
+    return jax.default_backend() == "tpu"
+
+
+class force_plane_opt:
+    """Context manager pinning the joint plane-NLL optimizer path on or off
+    regardless of backend (CPU tests use it to exercise the TPU path).
+    ``None`` restores backend auto-dispatch."""
+
+    def __init__(self, enabled: Optional[bool] = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _FORCE_PLANE_OPT
+        self._prev = _FORCE_PLANE_OPT
+        _FORCE_PLANE_OPT = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _FORCE_PLANE_OPT
+        _FORCE_PLANE_OPT = self._prev
+        return False
+
+
 def _filter_nll(y, m0, S0, A, Q, C, r, h_fn, sequential):
     """Filter NLL for one sequence; non-finite -> 1e12 penalty
     (reference guard: eks/core.py:471,502,650)."""
@@ -210,7 +244,9 @@ def _filter_nll(y, m0, S0, A, Q, C, r, h_fn, sequential):
 
 @partial(
     jax.jit,
-    static_argnames=("sequential", "lr", "s_lo", "s_hi", "tol", "safety_cap"),
+    static_argnames=(
+        "sequential", "lr", "s_lo", "s_hi", "tol", "safety_cap", "joint",
+    ),
 )
 @highest_precision
 def _optimize_blocks(
@@ -230,12 +266,28 @@ def _optimize_blocks(
     s_hi: float = 8.0,
     tol: float = 1e-2,
     safety_cap: int = 300,
+    joint: bool = False,  # resolved by the caller: True on TPU (linear/R-diag)
 ):
     """Tune one log(s) per block by Adam on the summed member filter NLLs.
 
     Every block is one vmap lane; members are padded to the widest block and
     masked out of the loss. Single compilation for any block structure.
+
+    With ``joint=True`` (the TPU default, resolved by
+    ``optimize_smooth_param`` — see ``force_plane_opt``) linear blocks take
+    the joint-loop path instead: one lane-batched plane NLL evaluates every
+    member of every block per iteration (a single Pallas scan on TPU rather
+    than a grid-serialized vmap), with per-lane Adam state and masked
+    carries replicating ``vmap(while_loop)`` batching semantics exactly.
+    The plane program is kept off XLA:CPU by default: LLVM compile time on
+    the many-small-op plane graph under vmap+jvp+while is pathological
+    (minutes at toy shapes), while the TPU compiler handles it in seconds.
     """
+    if joint and h_fn is None and not sequential and rB.ndim == 3:
+        return _optimize_blocks_joint(
+            yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init,
+            lr=lr, s_lo=s_lo, s_hi=s_hi, tol=tol, safety_cap=safety_cap,
+        )
 
     def optimize_one(y_b, r_b, m0_b, S0_b, A_b, Q_b, C_b, mask_b, s_log0):
         def loss_fn(s_log):
@@ -281,6 +333,85 @@ def _optimize_blocks(
         return s_log_f, last_loss, iters_f
 
     return vmap(optimize_one)(yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init)
+
+
+def _optimize_blocks_joint(
+    yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init,
+    lr, s_lo, s_hi, tol, safety_cap,
+):
+    """Joint while-loop twin of the vmapped optimizer for the linear
+    constant-diag-R case: every iteration evaluates ONE lane-batched plane
+    NLL over all n_blocks*B_max member sequences
+    (ops/pkalman.py:filter_nll_parallel_planes_batched), so the Pallas scan
+    runs KB lanes per grid step instead of being serialized one lane per
+    grid step by vmap's batching rule.
+
+    Semantics are the batching rule's: bodies run for every lane each joint
+    iteration, and a lane's carry (s, Adam state incl. per-lane count, loss,
+    iteration count, done flag) only commits while that lane is active.
+    Iterates are bitwise-identical to ``vmap(optimize_one)``.
+    """
+    n_blocks, b_max = yB.shape[:2]
+    n_flat = n_blocks * b_max
+
+    def flat(x):
+        return x.reshape((n_flat,) + x.shape[2:])
+
+    yF, rF, m0F, S0F, AF, CF = map(flat, (yB, rB, m0B, S0B, AB, CB))
+    maskF = flat(maskB)
+
+    def loss_vec(s_log):  # (n_blocks,) -> per-block masked member-NLL sums
+        s = jnp.exp(jnp.clip(s_log, s_lo, s_hi))
+        sQ = flat(s[:, None, None, None] * QB)
+        lls = filter_nll_parallel_planes_batched(yF, m0F, S0F, AF, sQ, CF, rF)
+        nll = jnp.where(jnp.isfinite(lls), -lls, 1e12)
+        return jnp.sum((nll * maskF).reshape(n_blocks, b_max), axis=1)
+
+    def loss_and_grad(s_log):
+        # per-block losses depend only on their own s, so the Jacobian is
+        # diagonal and one jvp against the ones tangent IS the gradient
+        return jax.jvp(loss_vec, (s_log,), (jnp.ones_like(s_log),))
+
+    opt = optax.adam(1.0)
+    opt_state0 = vmap(opt.init)(s_log_init)
+
+    def cond(carry):
+        _, _, _, iters, done = carry
+        return jnp.any(jnp.logical_and(~done, iters < safety_cap))
+
+    def body(carry):
+        s_log, opt_state, prev_loss, iters, done = carry
+        active = jnp.logical_and(~done, iters < safety_cap)
+        loss, grad = loss_and_grad(s_log)
+        updates, new_state = vmap(opt.update)(grad * lr, opt_state)
+        s_new = optax.apply_updates(s_log, updates)
+        rel_tol = tol * jnp.abs(jnp.log(jnp.maximum(prev_loss, 1e-12)))
+        stop = jnp.where(
+            jnp.isfinite(prev_loss),
+            jnp.abs(loss - prev_loss) < (rel_tol + 1e-6),
+            False,
+        )
+
+        def sel(new, old):
+            return jnp.where(active, new, old)
+
+        return (
+            sel(s_new, s_log),
+            jax.tree_util.tree_map(sel, new_state, opt_state),
+            sel(loss, prev_loss),
+            sel(iters + 1, iters),
+            sel(stop, done),
+        )
+
+    init = (
+        s_log_init,
+        opt_state0,
+        jnp.full((n_blocks,), jnp.inf, dtype=yB.dtype),
+        jnp.zeros((n_blocks,), dtype=jnp.int32),
+        jnp.zeros((n_blocks,), dtype=bool),
+    )
+    s_log_f, _, last_loss, iters_f, _ = lax.while_loop(cond, body, init)
+    return s_log_f, last_loss, iters_f
 
 
 def optimize_smooth_param(
@@ -419,6 +550,9 @@ def optimize_smooth_param(
         s_hi=float(s_hi),
         tol=float(tol),
         safety_cap=int(safety_cap),
+        joint=bool(
+            _plane_opt_enabled() and h_fn is None and not sequential
+        ),
     )
     if mesh is not None and partition == "keypoint":
         from eks_tpu.parallel.mesh import optimize_blocks_sharded

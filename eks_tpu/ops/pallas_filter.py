@@ -245,6 +245,147 @@ def _run_kernel(kernel, elems, interpret):
     )(elems)
 
 
+# --------------------------------------------------------------------------- #
+# lane-batched variant: KB independent sequences per grid step
+# --------------------------------------------------------------------------- #
+def _make_scan_kernel_batched(n_planes: int, combine, ident_vec):
+    """Same three-phase prefix scan, but every tile is (1, KB, NC): KB
+    independent lanes ride the sublane axis, so one vector op advances KB
+    sequences at once instead of the single-lane kernel's 1/8 sublane
+    utilization. Partials live in the output ref (no scratch)."""
+
+    def identity_like(x):
+        return tuple(
+            jnp.full_like(x, v) if v != 0.0 else jnp.zeros_like(x)
+            for v in ident_vec
+        )
+
+    def kernel(elems_ref, out_ref):
+        # refs: (n_planes, L, KB, NC)
+        L = elems_ref.shape[1]
+
+        def row(i):
+            return tuple(
+                elems_ref[p, pl.ds(i, 1), :, :] for p in range(n_planes)
+            )
+
+        def body(i, carry):
+            new = combine(carry, row(i))
+            for p in range(n_planes):
+                out_ref[p, pl.ds(i, 1), :, :] = new[p]
+            return new
+
+        carry = row(0)
+        for p in range(n_planes):
+            out_ref[p, 0:1, :, :] = carry[p]
+        totals = jax.lax.fori_loop(1, L, body, carry)
+
+        # phase 2: exclusive prefix of the NC chunk totals per lane
+        idx = jax.lax.broadcasted_iota(jnp.int32, totals[0].shape, 2)
+        prefix = totals
+        shift = 1
+        while shift < NC:
+            shifted = tuple(pltpu.roll(t, shift, 2) for t in prefix)
+            ident = identity_like(prefix[0])
+            mask = idx >= shift
+            shifted = tuple(
+                jnp.where(mask, s, i0) for s, i0 in zip(shifted, ident)
+            )
+            prefix = combine(shifted, prefix)
+            shift *= 2
+        excl = tuple(pltpu.roll(t, 1, 2) for t in prefix)
+        ident = identity_like(prefix[0])
+        excl = tuple(jnp.where(idx >= 1, e, i0) for e, i0 in zip(excl, ident))
+
+        # phase 3: fold exclusive chunk prefixes into the stored partials
+        parts = tuple(out_ref[p, :, :, :] for p in range(n_planes))
+        final = combine(excl, parts)
+        for p in range(n_planes):
+            out_ref[p, :, :, :] = final[p]
+
+    return kernel
+
+
+def _batch_tile(n_planes: int, T: int) -> int:
+    """Lanes per grid step: a multiple of 8 (Mosaic requires the sublane
+    block dim divisible by 8), as many as keep in+out VMEM under ~10 MB,
+    capped at 64. Returns 0 when even 8 lanes of the full padded time axis
+    exceed the budget — the caller then falls back to the vmapped
+    single-lane kernel."""
+    Tp = -(-T // NC) * NC
+    per_lane = 2 * n_planes * Tp * 4  # in + out, f32
+    kb = 8 * ((10 << 20) // max(8 * per_lane, 1))
+    return min(64, kb)
+
+
+def _scan_planes_batched(planes, kernel, ident_vec, max_kb, interpret):
+    """(N, P, T) stacked lanes -> inclusive prefix (N, P, T)."""
+    N, P, T = planes.shape
+    Tp = -(-T // NC) * NC
+    if Tp != T:
+        pad = jnp.tile(
+            jnp.asarray(ident_vec, dtype=planes.dtype)[None, :, None],
+            (N, 1, Tp - T),
+        )
+        planes = jnp.concatenate([planes, pad], axis=2)
+    kb = min(max_kb, -(-N // 8) * 8)  # both multiples of 8
+    Np = -(-N // kb) * kb
+    if Np != N:
+        planes = jnp.concatenate(
+            [planes, jnp.tile(planes[:1], (Np - N, 1, 1))], axis=0
+        )
+    L = Tp // NC
+    # [n, p, t] -> [p, i, n, c] with t = c * L + i (chunk-contiguous in time,
+    # lanes on the sublane axis)
+    elems = planes.reshape(Np, P, NC, L).transpose(1, 3, 0, 2)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Np // kb,),
+        out_shape=jax.ShapeDtypeStruct((P, L, Np, NC), planes.dtype),
+        in_specs=[
+            pl.BlockSpec(
+                (P, L, kb, NC), lambda n: (0, 0, n, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (P, L, kb, NC), lambda n: (0, 0, n, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(elems)
+    return out.transpose(2, 0, 3, 1).reshape(Np, P, Tp)[:N, :, :T]
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_fn_batched(kind: str, D: int, T: int, interpret: bool):
+    """Differentiable lane-batched prefix scan over (N, P, T) planes; the
+    custom JVP pairs primal/tangent planes through the same kernel."""
+    algebra = _filter_algebra if kind == "filter" else _smoother_algebra
+    combine, ident_vec, n_planes = algebra(D)
+    pcombine, pident, _ = _paired_algebra(combine, ident_vec)
+    kb = _batch_tile(n_planes, T)
+    pkb = _batch_tile(2 * n_planes, T)
+    if min(kb, pkb) == 0:
+        # full-T tiles for 8 lanes exceed VMEM: fall back to the vmapped
+        # single-lane kernel (pallas serializes the batch as a grid dim)
+        return jax.vmap(_scan_fn(kind, D, interpret))
+    kernel = _make_scan_kernel_batched(n_planes, combine, ident_vec)
+    pkernel = _make_scan_kernel_batched(2 * n_planes, pcombine, pident)
+
+    @jax.custom_jvp
+    def scan(planes):
+        return _scan_planes_batched(planes, kernel, ident_vec, kb, interpret)
+
+    @scan.defjvp
+    def scan_jvp(primals, tangents):
+        (p,), (dp,) = primals, tangents
+        paired = jnp.concatenate([p, dp], axis=1)
+        out = _scan_planes_batched(paired, pkernel, pident, pkb, interpret)
+        return out[:, :n_planes], out[:, n_planes:]
+
+    return scan
+
+
 def _scan_planes(planes, kernel, ident_vec, interpret):
     """(P, T) planes -> inclusive prefix (P, T), identity-padded to NC."""
     P, T = planes.shape

@@ -35,6 +35,7 @@ filter (same gains, same innovations), so parity with ``ops.kalman``'s
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -47,6 +48,8 @@ from eks_tpu.ops.linalg import highest_precision, mvn_logpdf, psd_solve, small_i
 __all__ = [
     "kalman_filter_parallel",
     "kalman_smoother_parallel",
+    "filter_nll_parallel_planes",
+    "filter_nll_parallel_planes_batched",
     "ekf_parallel",
     "eks_parallel",
     "force_soa_scan",
@@ -343,6 +346,244 @@ def kalman_filter_parallel(
 
     ll = jnp.sum(vmap(step_ll)(ys, r, pred_m, pred_P))
     return FilterResult(ll, ms, Ps)
+
+
+# --------------------------------------------------------------------------- #
+# plane-native constant-R filter NLL (the s-optimizer hot loop)
+# --------------------------------------------------------------------------- #
+def _pchol(S):
+    """Lower Cholesky of a symmetric plane matrix (list-of-lists of (T,)
+    planes, entries above the diagonal unused), unrolled at trace time."""
+    o = len(S)
+    L = [[None] * o for _ in range(o)]
+    for i in range(o):
+        for j in range(i + 1):
+            s = S[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = jnp.sqrt(s) if i == j else s / L[j][j]
+    return L
+
+
+def _plane_nll_pre(ys, m0, S0, A, Q, C, r):
+    """Constant-R filter elements as a stacked (P, T) plane table,
+    P = 3D² + 2D in _FilterElement order. The time-invariant element
+    matrices stay 0-D scalars until the pack; the data-dependent planes are
+    O elementwise combinations of the observation columns."""
+    T, O = ys.shape
+    D = m0.shape[0]
+    dt = ys.dtype
+    eye = jnp.eye(D, dtype=dt)
+
+    CQ = C @ Q
+    CA = C @ A
+    S_c = CQ @ C.T + jnp.diag(r)  # (O, O)
+    K_c = psd_solve(S_c, CQ).T  # (D, O)
+    IKC = eye - K_c @ C
+    M_c = psd_solve(S_c, CA)  # (O, D)
+    A_el = IKC @ A  # (D, D)
+    C_el = IKC @ Q
+    J_el = CA.T @ M_c
+
+    # first element assimilates y_0 against the prior (no transition)
+    S_0 = C @ S0 @ C.T + jnp.diag(r)
+    K_0 = psd_solve(S_0, C @ S0).T
+    b_first = m0 + K_0 @ (ys[0] - C @ m0)
+    C_first = (eye - K_0 @ C) @ S0
+
+    y_pl = [ys[:, o] for o in range(O)]  # O planes of (T,)
+
+    def const_row(c_all, c_first):
+        return jnp.full((T,), c_all, dtype=dt).at[0].set(c_first.astype(dt))
+
+    def data_row(weights, first):
+        # Σ_o w_o · y_o as elementwise plane work, then the t=0 override
+        row = sum(y_pl[o] * weights[o] for o in range(O))
+        return row.at[0].set(first.astype(dt))
+
+    zero = jnp.asarray(0.0, dt)
+    rows = []
+    for i in range(D):  # A planes (zero at t=0)
+        for j in range(D):
+            rows.append(const_row(A_el[i, j], zero))
+    for i in range(D):  # b planes: K_c @ y_t, b_first at t=0
+        rows.append(data_row(K_c[i], b_first[i]))
+    for i in range(D):  # C planes
+        for j in range(D):
+            rows.append(const_row(C_el[i, j], C_first[i, j]))
+    for i in range(D):  # eta planes: (CA)ᵀ S⁻¹ y_t = M_cᵀ y_t, zero at t=0
+        rows.append(data_row(M_c[:, i], zero))
+    for i in range(D):  # J planes (zero at t=0)
+        for j in range(D):
+            rows.append(const_row(J_el[i, j], zero))
+    return jnp.stack(rows)
+
+
+def _plane_soa_scan(rows, D):
+    """lax.associative_scan over a (P, [...,] T) plane table (non-Pallas
+    fallback; the scan axis is the trailing one). Returns (m planes,
+    P planes)."""
+    dd = D * D
+    soa = _FilterElement(
+        A=tuple(tuple(rows[i * D + j] for j in range(D)) for i in range(D)),
+        b=tuple(rows[dd + i] for i in range(D)),
+        C=tuple(
+            tuple(rows[dd + D + i * D + j] for j in range(D))
+            for i in range(D)
+        ),
+        eta=tuple(rows[2 * dd + D + i] for i in range(D)),
+        J=tuple(
+            tuple(rows[2 * dd + 2 * D + i * D + j] for j in range(D))
+            for i in range(D)
+        ),
+    )
+    prefix = lax.associative_scan(_combine_filter, soa, axis=-1)
+    return prefix.b, prefix.C
+
+
+def _plane_split_moments(out, D):
+    """Slice filtered-moment planes out of a scanned (P, [...,] T) table."""
+    off_b, off_C = D * D, D * D + D
+    m_pl = tuple(out[..., off_b + i, :] for i in range(D))
+    P_pl = tuple(
+        tuple(out[..., off_C + i * D + j, :] for j in range(D))
+        for i in range(D)
+    )
+    return m_pl, P_pl
+
+
+def _plane_nll_post(m_pl, P_pl, ys, m0, S0, A, Q, C, r):
+    """Predictive moments + Gaussian log-density from filtered-moment planes,
+    all unrolled plane algebra — no (T, D, D) tensor is ever built."""
+    T, O = ys.shape
+    D = m0.shape[0]
+    dt = ys.dtype
+    zero = jnp.asarray(0.0, dt)
+    y_pl = [ys[:, o] for o in range(O)]
+
+    def shifted(p, first):
+        return jnp.concatenate([jnp.asarray(first, dt)[None], p[:-1]])
+
+    m_prev = [shifted(m_pl[i], m0[i]) for i in range(D)]
+    P_prev = [
+        [shifted(P_pl[i][j], S0[i, j]) for j in range(D)] for i in range(D)
+    ]
+    # pred_m = A m_prev (t >= 1); t = 0 keeps the prior untouched
+    pred_m = [
+        sum(A[i, j] * m_prev[j] for j in range(D)).at[0].set(m0[i].astype(dt))
+        for i in range(D)
+    ]
+    pred_P = [
+        [
+            (
+                sum(
+                    A[i, k] * P_prev[k][l] * A[j, l]
+                    for k in range(D)
+                    for l in range(D)
+                )
+                + Q[i, j]
+            )
+            .at[0]
+            .set(S0[i, j].astype(dt))
+            for j in range(D)
+        ]
+        for i in range(D)
+    ]
+
+    S_pl = [
+        [
+            sum(
+                C[i, k] * pred_P[k][l] * C[j, l]
+                for k in range(D)
+                for l in range(D)
+            )
+            + (r[i] if i == j else zero)
+            for j in range(O)
+        ]
+        for i in range(O)
+    ]
+    d_pl = [
+        y_pl[i] - sum(C[i, j] * pred_m[j] for j in range(D)) for i in range(O)
+    ]
+    L = _pchol(S_pl)
+    z = [None] * O
+    logdet = zero
+    for i in range(O):
+        s = d_pl[i]
+        for k in range(i):
+            s = s - L[i][k] * z[k]
+        z[i] = s / L[i][i]
+        logdet = logdet + jnp.log(L[i][i])
+    quad = sum(zi * zi for zi in z)
+    ll_t = -0.5 * quad - logdet - 0.5 * O * math.log(2.0 * math.pi)
+    return jnp.sum(ll_t)
+
+
+@highest_precision
+def filter_nll_parallel_planes(
+    ys: jnp.ndarray,  # (T, O)
+    m0: jnp.ndarray,  # (D,)
+    S0: jnp.ndarray,  # (D, D)
+    A: jnp.ndarray,  # (D, D)
+    Q: jnp.ndarray,  # (D, D)
+    C: jnp.ndarray,  # (O, D)
+    r: jnp.ndarray,  # (O,) constant diagonal observation noise
+) -> jnp.ndarray:
+    """Marginal log-likelihood of the linear filter with CONSTANT diagonal R,
+    computed entirely in scalar planes — no (T, D, D) tensor is ever built.
+
+    This is the s-optimizer's loss (its R is the time median,
+    core.py:_optimize_blocks). The generic path packs broadcast (T, D, D)
+    element tensors, scans, unpacks to (T, D, D) moments, and evaluates the
+    log-density through einsums over tiny minor dims — each step a relayout
+    that wastes the TPU's (8, 128) tiles. Here every tensor the compiler
+    sees is (T,)-shaped (under vmap: (K, T) — fully tiled). Same math, same
+    element algebra, same scan kernel.
+    """
+    from eks_tpu.ops.pallas_filter import _scan_fn, _use_pallas
+
+    D = m0.shape[0]
+    rows = _plane_nll_pre(ys, m0, S0, A, Q, C, r)
+    if _use_pallas(D):
+        out = _scan_fn("filter", D, jax.default_backend() != "tpu")(rows)
+        m_pl, P_pl = _plane_split_moments(out, D)
+    else:
+        m_pl, P_pl = _plane_soa_scan(rows, D)
+    return _plane_nll_post(m_pl, P_pl, ys, m0, S0, A, Q, C, r)
+
+
+@highest_precision
+def filter_nll_parallel_planes_batched(
+    ys: jnp.ndarray,  # (N, T, O)
+    m0: jnp.ndarray,  # (N, D)
+    S0: jnp.ndarray,  # (N, D, D)
+    A: jnp.ndarray,  # (N, D, D)
+    Q: jnp.ndarray,  # (N, D, D)
+    C: jnp.ndarray,  # (N, O, D)
+    r: jnp.ndarray,  # (N, O)
+) -> jnp.ndarray:
+    """Batched twin of :func:`filter_nll_parallel_planes` over N independent
+    sequences: the elementwise prep/epilogue are vmapped (pure (N, T) plane
+    work), and the prefix scan runs as ONE lane-batched Pallas kernel — KB
+    lanes per grid step on the sublane axis — instead of N single-lane grid
+    steps (a vmapped ``pallas_call`` serializes over a grid dimension, which
+    on one TensorCore wastes 7/8 of the VPU's sublanes). Returns (N,) lls.
+    """
+    from eks_tpu.ops.pallas_filter import _scan_fn_batched, _use_pallas
+
+    T = ys.shape[1]
+    D = m0.shape[1]
+    rows = vmap(_plane_nll_pre)(ys, m0, S0, A, Q, C, r)  # (N, P, T)
+    if _use_pallas(D):
+        out = _scan_fn_batched(
+            "filter", D, T, jax.default_backend() != "tpu"
+        )(rows)
+        m_pl, P_pl = _plane_split_moments(out, D)
+    else:
+        m_pl, P_pl = _plane_soa_scan(
+            tuple(rows[:, p] for p in range(rows.shape[1])), D
+        )
+    return vmap(_plane_nll_post)(m_pl, P_pl, ys, m0, S0, A, Q, C, r)
 
 
 class _SmootherElement(NamedTuple):

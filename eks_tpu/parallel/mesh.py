@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from eks_tpu.core import _optimize_blocks, _smooth_all
+from eks_tpu.core import _plane_opt_enabled as _core_plane_opt_enabled
 
 __all__ = [
     "make_mesh",
@@ -252,6 +253,7 @@ def optimize_and_smooth_sharded(
         lr=float(lr),
         tol=float(tol),
         safety_cap=int(safety_cap),
+        joint=_core_plane_opt_enabled(),
     )
     s_finals = jnp.exp(jnp.clip(s_log_f, -8.0, 8.0))
 

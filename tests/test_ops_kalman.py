@@ -293,3 +293,99 @@ def test_iterated_parallel_ekf_fly_calibration():
     np.testing.assert_allclose(
         np.asarray(par.smoothed_covs), np.asarray(seq.smoothed_covs), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("D,O", [(2, 2), (3, 6), (3, 8)])
+def test_plane_nll_matches_parallel_filter(rng, D, O):
+    """The plane-native constant-R NLL (the s-optimizer loss,
+    filter_nll_parallel_planes) must agree with the generic parallel filter
+    AND the float64 oracle — in both the SoA-scan and Pallas-kernel layouts."""
+    from eks_tpu.ops.pallas_filter import force_pallas_scan
+    from eks_tpu.ops.pkalman import filter_nll_parallel_planes
+
+    ys, m0, S0, A, Q, C, r_t = make_problem(rng, T=257, D=D, O=O)
+    r = np.median(r_t, axis=0)  # (O,) constant diag, like the optimizer uses
+    args = [jnp.asarray(a) for a in (ys, m0, S0, A, Q, C, r)]
+
+    ll_gen = float(kalman_filter_parallel(*args).log_likelihood)
+    ll_oracle, *_ = oracle_filter_smoother(ys, m0, S0, A, Q, C, r)
+
+    for pallas in (False, True):
+        with force_pallas_scan(pallas):
+            ll_pl = float(filter_nll_parallel_planes(*args))
+        np.testing.assert_allclose(ll_pl, ll_gen, rtol=1e-5)
+        np.testing.assert_allclose(ll_pl, ll_oracle, rtol=1e-4)
+
+
+def test_plane_nll_jvp_matches_value_and_grad(rng):
+    """jax.jvp through the plane-native NLL (what the optimizer consumes)
+    must match finite differences of the value."""
+    import jax
+
+    from eks_tpu.ops.pkalman import filter_nll_parallel_planes
+
+    ys, m0, S0, A, Q, C, r_t = make_problem(rng, T=200, D=2, O=2)
+    r = np.median(r_t, axis=0)
+    args = [jnp.asarray(a) for a in (ys, m0, S0, A, C, r)]
+
+    def nll(s_log):
+        s = jnp.exp(s_log)
+        y, m0_, S0_, A_, C_, r_ = args
+        return -filter_nll_parallel_planes(y, m0_, S0_, A_, s * jnp.asarray(Q), C_, r_)
+
+    v, g = jax.jvp(nll, (jnp.asarray(0.3),), (jnp.asarray(1.0),))
+    h = 1e-3
+    fd = (float(nll(jnp.asarray(0.3 + h))) - float(nll(jnp.asarray(0.3 - h)))) / (2 * h)
+    np.testing.assert_allclose(float(g), fd, rtol=5e-2)
+
+
+@pytest.mark.parametrize("D,O", [(2, 2), (3, 6)])
+def test_plane_nll_batched_matches_single(rng, D, O):
+    """The lane-batched plane NLL (one Pallas kernel for N sequences) must
+    agree with the per-sequence plane NLL in both scan layouts, and its
+    custom JVP must match finite differences."""
+    import jax
+
+    from eks_tpu.ops.pallas_filter import force_pallas_scan
+    from eks_tpu.ops.pkalman import (
+        filter_nll_parallel_planes,
+        filter_nll_parallel_planes_batched,
+    )
+
+    N = 5
+    probs = [make_problem(rng, T=130, D=D, O=O) for _ in range(N)]
+    st = lambda i: jnp.stack([jnp.asarray(p[i]) for p in probs])
+    ys, m0, S0, A, Q, C = st(0), st(1), st(2), st(3), st(4), st(5)
+    r = jnp.stack([jnp.asarray(np.median(p[6], axis=0)) for p in probs])
+
+    single = np.array(
+        [
+            float(
+                filter_nll_parallel_planes(
+                    ys[i], m0[i], S0[i], A[i], Q[i], C[i], r[i]
+                )
+            )
+            for i in range(N)
+        ]
+    )
+
+    def total_nll(s_log):
+        s = jnp.exp(s_log)[:, None, None]
+        return -jnp.sum(
+            filter_nll_parallel_planes_batched(ys, m0, S0, A, s * Q, C, r)
+        )
+
+    x = jnp.zeros(N).at[0].set(0.3).at[1].set(-0.2)
+    tan = jnp.ones(N)
+    h = 1e-3
+    for pallas in (False, True):
+        with force_pallas_scan(pallas):
+            batched = np.asarray(
+                filter_nll_parallel_planes_batched(ys, m0, S0, A, Q, C, r)
+            )
+            np.testing.assert_allclose(batched, single, rtol=1e-5)
+            _, g = jax.jvp(total_nll, (x,), (tan,))
+            fd = (float(total_nll(x + h * tan)) - float(total_nll(x - h * tan))) / (
+                2 * h
+            )
+        np.testing.assert_allclose(float(g), fd, rtol=5e-2)
