@@ -34,10 +34,14 @@ import optax
 import pandas as pd
 from jax import lax
 
-from eks_tpu.core import ensemble
+from eks_tpu.core import _plane_opt_enabled, ensemble
 from eks_tpu.marker_array import MarkerArray, input_dfs_to_markerArray
 from eks_tpu.ops.linalg import highest_precision
-from eks_tpu.ops.pkalman import kalman_filter_parallel, kalman_smoother_parallel
+from eks_tpu.ops.pkalman import (
+    filter_nll_parallel_planes_tv,
+    kalman_filter_parallel,
+    kalman_smoother_parallel,
+)
 from eks_tpu.utils import crop_frames, format_data, make_dlc_pandas_index
 
 logger = logging.getLogger(__name__)
@@ -266,12 +270,13 @@ def _pupil_model(s_d, s_c, diameters_var, x_var, y_var):
     return A, Q
 
 
-@partial(jax.jit, static_argnames=("lr", "tol", "safety_cap"))
+@partial(jax.jit, static_argnames=("lr", "tol", "safety_cap", "plane"))
 @highest_precision
 def _pupil_optimize_jit(
     y_loss, r_loss, m0, S0, C, u0,
     diameters_var, x_var, y_var,
     lr: float, tol: float, safety_cap: int,
+    plane: bool = False,  # resolved by the caller: True on TPU
 ):
     # NOTE: the per-session variance scales are traced (NOT static) so a new
     # dataset does not recompile this program
@@ -283,8 +288,13 @@ def _pupil_optimize_jit(
     def nll(u):
         s = to_s(u)
         A, Q = _pupil_model(s[0], s[1], diameters_var, x_var, y_var)
-        res = kalman_filter_parallel(y_loss, m0, S0, A, Q, C, r_loss)
-        v = -res.log_likelihood
+        if plane:
+            # TPU hot loop: plane-native information-form loss, no (T, O, O)
+            # innovation tensors (kept off XLA:CPU — see core.force_plane_opt)
+            v = -filter_nll_parallel_planes_tv(y_loss, m0, S0, A, Q, C, r_loss)
+        else:
+            res = kalman_filter_parallel(y_loss, m0, S0, A, Q, C, r_loss)
+            v = -res.log_likelihood
         return jnp.where(jnp.isfinite(v), v, 1e12)
 
     # two parameters -> forward-mode gradient (2 jvp lanes) instead of one
@@ -360,6 +370,7 @@ def pupil_optimize_smooth(
         x_var=jnp.asarray(x_var),
         y_var=jnp.asarray(y_var),
         lr=float(lr), tol=float(tol), safety_cap=int(safety_cap),
+        plane=_plane_opt_enabled(),
     )
     s_opt = np.asarray(s_opt)
     logger.debug(
@@ -394,19 +405,29 @@ def run_pupil_kalman_smoother(
         lr=lr, tol=tol, safety_cap=safety_cap,
     )
 
-    A, Q = _pupil_model(
-        jnp.asarray(s_d), jnp.asarray(s_c), diameters_var, x_var, y_var
-    )
     r = jnp.asarray(np.clip(np.asarray(ensemble_vars), 1e-12, None))
-    ys_j = jnp.asarray(ys)
+    ms, Vs = _pupil_smooth_jit(
+        jnp.asarray(ys), m0, S0, C, r,
+        jnp.asarray(s_d), jnp.asarray(s_c),
+        jnp.asarray(diameters_var), jnp.asarray(x_var), jnp.asarray(y_var),
+        sequential=sequential,
+    )
+    # one pull for both outputs (the smoother graph runs as a single device
+    # program; calling the kernels eagerly here costs seconds of per-op
+    # dispatch on a remote-attached chip)
+    ms, Vs = jax.device_get((ms, Vs))
+    return [float(s_d), float(s_c)], ms, Vs
+
+
+@partial(jax.jit, static_argnames=("sequential",))
+@highest_precision
+def _pupil_smooth_jit(ys, m0, S0, C, r, s_d, s_c, diameters_var, x_var, y_var,
+                      sequential: bool = False):
+    A, Q = _pupil_model(s_d, s_c, diameters_var, x_var, y_var)
     if sequential:
         from eks_tpu.ops.kalman import kalman_smoother
 
-        res = kalman_smoother(ys_j, m0, S0, A, Q, C=C, r_diag=r)
+        res = kalman_smoother(ys, m0, S0, A, Q, C=C, r_diag=r)
     else:
-        res = kalman_smoother_parallel(ys_j, m0, S0, A, Q, C, r)
-    return (
-        [float(s_d), float(s_c)],
-        np.asarray(res.smoothed_means),
-        np.asarray(res.smoothed_covs),
-    )
+        res = kalman_smoother_parallel(ys, m0, S0, A, Q, C, r)
+    return res.smoothed_means, res.smoothed_covs

@@ -50,6 +50,7 @@ __all__ = [
     "kalman_smoother_parallel",
     "filter_nll_parallel_planes",
     "filter_nll_parallel_planes_batched",
+    "filter_nll_parallel_planes_tv",
     "ekf_parallel",
     "eks_parallel",
     "force_soa_scan",
@@ -517,6 +518,115 @@ def _plane_nll_post(m_pl, P_pl, ys, m0, S0, A, Q, C, r):
     quad = sum(zi * zi for zi in z)
     ll_t = -0.5 * quad - logdet - 0.5 * O * math.log(2.0 * math.pi)
     return jnp.sum(ll_t)
+
+
+def _plane_nll_pre_tv(ys, m0, S0, A, Q, C, r):
+    """Time-varying diagonal-R filter elements as a stacked (P, T) plane
+    table, built in the information (Woodbury) form: with diagonal R the
+    per-step O x O innovation solve of the covariance form collapses to one
+    unrolled D x D plane inverse plus O(O·D²) diagonal work —
+        W_t = Cᵀ R_t⁻¹ C,  v_t = Cᵀ R_t⁻¹ y_t,  M_t = (Q⁻¹ + W_t)⁻¹,
+        A_el = M_t Q⁻¹ A,  b = M_t v_t,  C_el = M_t,
+        eta = Aᵀ (v_t - W_t M_t v_t),  J = Aᵀ (W_t - W_t M_t W_t) A
+    (push-through identities of the standard element definitions, e.g.
+    Q Cᵀ S⁻¹ = (Q⁻¹ + CᵀR⁻¹C)⁻¹ CᵀR⁻¹). Requires Q and S0 invertible."""
+    T, O = ys.shape
+    D = m0.shape[0]
+    dt = ys.dtype
+
+    ri = [1.0 / r[:, o] for o in range(O)]  # (T,) planes
+    y_pl = [ys[:, o] for o in range(O)]
+
+    W = [
+        [
+            sum(C[o, a] * C[o, b] * ri[o] for o in range(O))
+            for b in range(D)
+        ]
+        for a in range(D)
+    ]
+    v = [sum(C[o, a] * ri[o] * y_pl[o] for o in range(O)) for a in range(D)]
+
+    Qi = small_inv(Q)
+    QiA = Qi @ A
+    M = _pinv([[W[a][b] + Qi[a, b] for b in range(D)] for a in range(D)])
+    A_el = [
+        [sum(M[i][k] * QiA[k, j] for k in range(D)) for j in range(D)]
+        for i in range(D)
+    ]
+    b_el = _pmatvec(M, v)
+    MW = _pmatmul(M, W)
+    WMW = _pmatmul(W, MW)
+    w = [v[a] - sum(W[a][k] * b_el[k] for k in range(D)) for a in range(D)]
+    eta = [sum(A[k, i] * w[k] for k in range(D)) for i in range(D)]
+    J = [
+        [
+            sum(
+                A[k, i] * (W[k][l] - WMW[k][l]) * A[l, j]
+                for k in range(D)
+                for l in range(D)
+            )
+            for j in range(D)
+        ]
+        for i in range(D)
+    ]
+
+    # t = 0 assimilates y_0 against the prior: same information-form update
+    # with S0 in the role of Q and no transition
+    S0i = small_inv(S0)
+    W0 = [[W[a][b][0] for b in range(D)] for a in range(D)]
+    v0 = [v[a][0] for a in range(D)]
+    M0 = _pinv([[W0[a][b] + S0i[a, b] for b in range(D)] for a in range(D)])
+    rhs0 = [
+        sum(S0i[a, k] * m0[k] for k in range(D)) + v0[a] for a in range(D)
+    ]
+    b0 = _pmatvec(M0, rhs0)
+
+    zero = jnp.asarray(0.0, dt)
+    rows = []
+    for i in range(D):  # A planes (zero at t=0)
+        for j in range(D):
+            rows.append(A_el[i][j].astype(dt).at[0].set(zero))
+    for i in range(D):  # b planes
+        rows.append(b_el[i].astype(dt).at[0].set(b0[i].astype(dt)))
+    for i in range(D):  # C planes
+        for j in range(D):
+            rows.append(M[i][j].astype(dt).at[0].set(M0[i][j].astype(dt)))
+    for i in range(D):  # eta planes (zero at t=0)
+        rows.append(eta[i].astype(dt).at[0].set(zero))
+    for i in range(D):  # J planes (zero at t=0)
+        for j in range(D):
+            rows.append(J[i][j].astype(dt).at[0].set(zero))
+    return jnp.stack(rows)
+
+
+@highest_precision
+def filter_nll_parallel_planes_tv(
+    ys: jnp.ndarray,  # (T, O)
+    m0: jnp.ndarray,  # (D,)
+    S0: jnp.ndarray,  # (D, D)
+    A: jnp.ndarray,  # (D, D)
+    Q: jnp.ndarray,  # (D, D)
+    C: jnp.ndarray,  # (O, D)
+    r: jnp.ndarray,  # (T, O) time-varying diagonal observation noise
+) -> jnp.ndarray:
+    """Marginal log-likelihood of the linear filter with TIME-VARYING
+    diagonal R, computed entirely in scalar planes (the 2-parameter pupil
+    optimizer's loss — models/ibl_pupil.py:_pupil_optimize_jit — whose R is
+    the per-frame ensemble variance). Same plane pipeline as
+    :func:`filter_nll_parallel_planes`, with the element table built in the
+    information form (see :func:`_plane_nll_pre_tv`)."""
+    from eks_tpu.ops.pallas_filter import _scan_fn, _use_pallas
+
+    D = m0.shape[0]
+    O = ys.shape[1]
+    rows = _plane_nll_pre_tv(ys, m0, S0, A, Q, C, r)
+    if _use_pallas(D):
+        out = _scan_fn("filter", D, jax.default_backend() != "tpu")(rows)
+        m_pl, P_pl = _plane_split_moments(out, D)
+    else:
+        m_pl, P_pl = _plane_soa_scan(rows, D)
+    r_pl = [r[:, o] for o in range(O)]
+    return _plane_nll_post(m_pl, P_pl, ys, m0, S0, A, Q, C, r_pl)
 
 
 @highest_precision

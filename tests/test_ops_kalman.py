@@ -389,3 +389,46 @@ def test_plane_nll_batched_matches_single(rng, D, O):
                 2 * h
             )
         np.testing.assert_allclose(float(g), fd, rtol=5e-2)
+
+
+@pytest.mark.parametrize("D,O", [(2, 2), (3, 8)])
+def test_plane_nll_tv_matches_parallel_filter(rng, D, O):
+    """The information-form plane NLL for TIME-VARYING diagonal R (the pupil
+    optimizer's loss, filter_nll_parallel_planes_tv) must agree with the
+    generic parallel filter AND the float64 oracle in both scan layouts."""
+    from eks_tpu.ops.pallas_filter import force_pallas_scan
+    from eks_tpu.ops.pkalman import filter_nll_parallel_planes_tv
+
+    ys, m0, S0, A, Q, C, r_t = make_problem(rng, T=200, D=D, O=O)
+    args = [jnp.asarray(a) for a in (ys, m0, S0, A, Q, C, r_t)]
+
+    ll_gen = float(kalman_filter_parallel(*args).log_likelihood)
+    ll_oracle, *_ = oracle_filter_smoother(ys, m0, S0, A, Q, C, r_t)
+
+    for pallas in (False, True):
+        with force_pallas_scan(pallas):
+            ll_pl = float(filter_nll_parallel_planes_tv(*args))
+        np.testing.assert_allclose(ll_pl, ll_gen, rtol=1e-5)
+        np.testing.assert_allclose(ll_pl, ll_oracle, rtol=1e-4)
+
+
+def test_plane_nll_tv_jvp_matches_finite_difference(rng):
+    """jax.jvp through the tv plane NLL (what the pupil optimizer consumes)
+    must match finite differences."""
+    import jax
+
+    from eks_tpu.ops.pkalman import filter_nll_parallel_planes_tv
+
+    ys, m0, S0, A, Q, C, r_t = make_problem(rng, T=150, D=3, O=8)
+    args = [jnp.asarray(a) for a in (ys, m0, S0, A, C, r_t)]
+
+    def nll(s_log):
+        y, m0_, S0_, A_, C_, r_ = args
+        return -filter_nll_parallel_planes_tv(
+            y, m0_, S0_, A_, jnp.exp(s_log) * jnp.asarray(Q), C_, r_
+        )
+
+    v, g = jax.jvp(nll, (jnp.asarray(0.2),), (jnp.asarray(1.0),))
+    h = 1e-3
+    fd = (float(nll(jnp.asarray(0.2 + h))) - float(nll(jnp.asarray(0.2 - h)))) / (2 * h)
+    np.testing.assert_allclose(float(g), fd, rtol=5e-2)
