@@ -116,13 +116,21 @@ def ensemble_kalman_smoother_singlecam(
     var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
     devices: int | None = None,
     partition: Literal["keypoint", "time"] = "keypoint",
+    prep: Literal["host", "device"] = "host",
 ) -> tuple:
     """Array-level single-camera smoother.
 
-    The prep (ensemble stats, centering, KF init) is ONE fused device kernel;
-    raw predictions are uploaded once, the optimizer and smoother consume
-    device-resident arrays directly, and the output table ships to host as
-    one batched end-of-pipeline pull.
+    ``prep="host"`` (default) runs the fused prep program (ensemble stats,
+    centering, KF init) on the host CPU backend and ships only what the
+    accelerator consumes — centered observations + ensemble variances,
+    (T, K, 4) floats — pulling back just the smoother-dependent output block.
+    That is 2.5x fewer bytes each way than uploading the raw M-model
+    predictions, and transfers dominate on remote-attached accelerators
+    (the reference preps on host too: eks/singlecam_smoother.py:105-284).
+    ``prep="device"`` uploads the raw planes once and runs the same program
+    on the accelerator — the right choice when the host is the bottleneck
+    and the device link is fast. Either way the optimizer and smoother
+    consume device-resident arrays and results ship as one batched pull.
 
     Args:
         marker_array: (n_models, 1, T, K, 3) with fields [x, y, likelihood].
@@ -136,18 +144,45 @@ def ensemble_kalman_smoother_singlecam(
 
     _t0 = _time.perf_counter()
     arr = np.asarray(marker_array.array)  # (M, 1, T, K, 3) host
-    stats, ys_dev, means_dev, S0s_dev = _prep_singlecam(
-        jnp.asarray(arr[:, 0, :, :, 0]),
-        jnp.asarray(arr[:, 0, :, :, 1]),
-        jnp.asarray(arr[:, 0, :, :, 2]),
-        n_models, avg_mode, var_mode,
-    )
-    logger.debug(f"[timing] fused device prep (singlecam): {_time.perf_counter() - _t0:.3f}s")
+    if prep == "host":
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            prep_out = _prep_singlecam(
+                arr[:, 0, :, :, 0], arr[:, 0, :, :, 1], arr[:, 0, :, :, 2],
+                n_models, avg_mode, var_mode,
+            )
+        stats_host, ys_np, means_np, S0s_np = jax.device_get(prep_out)
+        logger.debug(
+            f"[timing] host prep (singlecam): {_time.perf_counter() - _t0:.3f}s"
+        )
+    else:
+        stats, ys_dev, means_dev, S0s_dev = _prep_singlecam(
+            jnp.asarray(arr[:, 0, :, :, 0]),
+            jnp.asarray(arr[:, 0, :, :, 1]),
+            jnp.asarray(arr[:, 0, :, :, 2]),
+            n_models, avg_mode, var_mode,
+        )
+        logger.debug(
+            f"[timing] fused device prep (singlecam): {_time.perf_counter() - _t0:.3f}s"
+        )
 
     eye = np.tile(np.eye(2), (n_keypoints, 1, 1))
     m0s = np.zeros((n_keypoints, 2))
 
-    if s_frames:
+    if prep == "host":
+        if s_frames or (devices is not None and devices > 1):
+            # cropping is host-side; the mesh path shards host arrays
+            # straight onto its devices — keep everything on host here
+            ys, ens_vars_in, S0s = ys_np, stats_host[..., 2:4], S0s_np
+        else:
+            # exactly two uploads feed the whole device pipeline
+            ys = jnp.asarray(ys_np)
+            ens_vars_in = jnp.asarray(
+                np.ascontiguousarray(stats_host[..., 2:4])
+            )
+            S0s = jnp.asarray(S0s_np)
+        means_dev = jnp.asarray(means_np)
+    elif s_frames:
         # loss-frame cropping happens host-side; one batched pull of the
         # prep results (per-array pulls each pay a transfer round-trip)
         ys, stats_host, S0s = jax.device_get((ys_dev, stats, S0s_dev))
