@@ -434,8 +434,12 @@ def optimize_smooth_param(
     sequential: bool = False,
     mesh=None,
     partition: str = "keypoint",
+    return_device: bool = False,
 ) -> np.ndarray:
     """Optimize ``s`` per block; returns per-keypoint ``s_finals`` (K,).
+
+    With ``return_device=True`` (and no mesh) the result stays a device
+    array so the caller can enqueue downstream work before paying the pull.
 
     With ``mesh`` (a 1-D jax.sharding.Mesh), either the block axis
     (``partition="keypoint"``, shard_map) or the time axis
@@ -563,18 +567,33 @@ def optimize_smooth_param(
         # SPMD partitioner through the same jitted program)
         s_log_f, last_loss, iters = _optimize_blocks(*operands, **statics)
 
-    s_log_f = np.asarray(s_log_f)[:n_blocks]
-    last_loss = np.asarray(last_loss)
-    iters = np.asarray(iters)
+    if logger.isEnabledFor(logging.DEBUG):
+        s_log_host = np.asarray(s_log_f)[:n_blocks]
+        ll_host, it_host = np.asarray(last_loss), np.asarray(iters)
+        for i, b in enumerate(blocks):
+            logger.debug(
+                f"s-opt block {list(b)}: converged to "
+                f"s={float(np.exp(np.clip(s_log_host[i], s_lo, s_hi))):.6g} "
+                f"after {int(it_host[i])} iters (NLL {float(ll_host[i]):.6f})"
+            )
+
+    if return_device and mesh is None:
+        # keep s on device: the caller enqueues the final smoother against
+        # it and pulls AFTER, so the smoother queues behind the optimizer
+        # instead of idling through a host round-trip for a (K,) array
+        block_of_k = np.empty(K, dtype=np.int32)
+        for i, b in enumerate(blocks):
+            for k in b:
+                block_of_k[k] = i
+        s_star = jnp.exp(jnp.clip(s_log_f[:n_blocks], s_lo, s_hi))
+        return s_star[jnp.asarray(block_of_k)]
+
+    s_log_host = np.asarray(s_log_f)[:n_blocks]
     s_finals = np.empty(K, dtype=float)
     for i, b in enumerate(blocks):
-        s_star = float(np.exp(np.clip(s_log_f[i], s_lo, s_hi)))
+        s_star = float(np.exp(np.clip(s_log_host[i], s_lo, s_hi)))
         for k in b:
             s_finals[k] = s_star
-        logger.debug(
-            f"s-opt block {list(b)}: converged to s={s_star:.6g} "
-            f"after {int(iters[i])} iters (NLL {float(last_loss[i]):.6f})"
-        )
     return s_finals
 
 
@@ -751,6 +770,7 @@ def _run_kalman_smoother_impl(
             sequential=sequential,
             mesh=mesh,
             partition=partition,
+            return_device=(mesh is None),
         )
         logger.debug(
             f"[timing]   optimize_smooth_param: {time.perf_counter() - _t0:.3f}s"
@@ -788,13 +808,18 @@ def _run_kalman_smoother_impl(
     else:
         rs = jnp.asarray(rs)
         operands = [jnp.asarray(a) for a in operands[:6]] + [
-            jnp.asarray(s_finals, dtype=rs.dtype), rs,
+            jnp.asarray(s_finals).astype(rs.dtype), rs,
         ]
         ms, Vs = _smooth_all(*operands, h_fn=h_fn, sequential=sequential)
     logger.debug(
         f"[timing]   final smoother pass ({K} keypoints): "
         f"{time.perf_counter() - _t0:.3f}s"
     )
+    if isinstance(s_finals, jnp.ndarray):
+        # pull AFTER the smoother is enqueued: the (K,) download waits for
+        # the optimizer (which the smoother needs anyway) while the smoother
+        # runs behind it — no device idle time for the round-trip
+        s_finals = np.asarray(jax.device_get(s_finals), dtype=float)
     # results stay device-resident; callers decide when to pull (transfers
     # over a remote-attached chip dominate, so the pull should be one batched
     # download as late as possible)

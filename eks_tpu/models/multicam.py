@@ -679,19 +679,32 @@ def _smoother_multicam_linear_fused(
     marker_array, keypoint_names, smooth_param, quantile_keep_pca,
     avg_mode, var_mode, n_latent, total_t0,
 ):
-    """Linear multicam smoother with device-resident prep and packaging.
-    Output contract identical to the general path (same columns, quirks)."""
+    """Linear multicam smoother with fused prep and packaging. The prep
+    program runs on the host CPU backend by default (transfer-lean: only the
+    observations + variances the accelerator consumes are uploaded, and the
+    ensemble-stat columns never round-trip — same rationale as the singlecam
+    ``prep='host'`` path). Output contract identical to the general path
+    (same columns, quirks)."""
     M, V, T, K, _ = marker_array.shape
     arr = np.asarray(marker_array.array)  # (M, C, T, K, 3)
 
     _t0 = time.perf_counter()
-    stats, ys, evars, m0s, S0s, As, Qs, Cs, means = _prep_multicam_linear(
-        jnp.asarray(arr[..., 0]),
-        jnp.asarray(arr[..., 1]),
-        jnp.asarray(arr[..., 2]),
-        M, avg_mode, var_mode, int(n_latent), float(quantile_keep_pca),
+    with jax.default_device(jax.devices("cpu")[0]):
+        prep_out = _prep_multicam_linear(
+            arr[..., 0], arr[..., 1], arr[..., 2],
+            M, avg_mode, var_mode, int(n_latent), float(quantile_keep_pca),
+        )
+    (
+        stats_np, ys_np, evars_np, m0s_np, S0s_np, As_np, Qs_np, Cs_np,
+        means_np,
+    ) = jax.device_get(prep_out)
+    # exactly two big uploads feed the device pipeline; stats stay on host
+    ys = jnp.asarray(ys_np)
+    evars = jnp.asarray(evars_np)
+    m0s, S0s, As, Qs, Cs, means = map(
+        jnp.asarray, (m0s_np, S0s_np, As_np, Qs_np, Cs_np, means_np)
     )
-    logger.debug(f"[timing] fused device prep: {time.perf_counter() - _t0:.3f}s")
+    logger.debug(f"[timing] host prep: {time.perf_counter() - _t0:.3f}s")
 
     _t0 = time.perf_counter()
     s_finals, ms, Vs = run_kalman_smoother(
@@ -709,11 +722,9 @@ def _smoother_multicam_linear_fused(
         if n_latent == 3
         else jnp.zeros((T, K * 6), dtype=sm4.dtype)
     )
-    # ONE batched pull of everything host packaging needs (an overlapped
-    # copy_to_host_async of the stats under the optimizer measured slower on
-    # this remote-attached chip — the tunnel serializes transfers against
-    # dispatches)
-    sm4_np, arr_3d_np, stats_np = jax.device_get((sm4, arr_3d, stats))
+    # ONE batched pull of the smoother-dependent blocks; the ensemble stats
+    # never left the host
+    sm4_np, arr_3d_np = jax.device_get((sm4, arr_3d))
 
     camera_dfs = _assemble_camera_dfs(sm4_np, stats_np, keypoint_names)
     labels_3d = ["x", "y", "z", "x_posterior_var", "y_posterior_var", "z_posterior_var"]
