@@ -34,7 +34,8 @@ import optax
 import pandas as pd
 from jax import lax
 
-from eks_tpu.core import _plane_opt_enabled, ensemble
+import eks_tpu.core as _core
+from eks_tpu.core import ensemble
 from eks_tpu.marker_array import MarkerArray, input_dfs_to_markerArray
 from eks_tpu.ops.linalg import highest_precision
 from eks_tpu.ops.pkalman import (
@@ -370,7 +371,12 @@ def pupil_optimize_smooth(
         x_var=jnp.asarray(x_var),
         y_var=jnp.asarray(y_var),
         lr=float(lr), tol=float(tol), safety_cap=int(safety_cap),
-        plane=_plane_opt_enabled(),
+        # forced-only: for ONE T-length sequence the generic AoS loss
+        # measured faster than the plane layout on TPU (0.61 vs 0.67
+        # ms/iter at T=10k) — the plane advantage is the lane-batched
+        # many-keypoint case (core._optimize_blocks_joint). force_plane_opt
+        # still pins the plane path on for tests.
+        plane=(_core._FORCE_PLANE_OPT is True),
     )
     s_opt = np.asarray(s_opt)
     logger.debug(

@@ -164,3 +164,61 @@ def test_sequential_and_parallel_optimizers_agree(rng):
     )
     np.testing.assert_allclose(s_par, s_seq, rtol=1e-2)
     np.testing.assert_allclose(ms_par, ms_seq, atol=1e-2)
+
+
+def test_joint_optimizer_loop_matches_vmapped_semantics(monkeypatch):
+    """The joint while-loop (``_optimize_blocks_joint``) must replicate
+    vmap(while_loop) batching semantics exactly: per-lane Adam state
+    (including count), masked carries, per-lane stopping. The plane NLL it
+    normally feeds is TPU-only (XLA:CPU compile pathology), so this pins the
+    LOOP against the vmapped twin with a cheap quadratic loss injected in
+    place of the batched filter NLL — the loss itself is covered by the
+    plane-NLL parity tests."""
+    import jax.numpy as jnp
+
+    from eks_tpu import core
+
+    n_blocks, b_max, T, O, D = 3, 2, 7, 2, 2
+    rng = np.random.default_rng(0)
+    yB = jnp.asarray(rng.normal(size=(n_blocks, b_max, T, O)).astype(np.float32))
+    rB = jnp.asarray(rng.uniform(0.5, 1.0, size=(n_blocks, b_max, O)).astype(np.float32))
+    m0B = jnp.zeros((n_blocks, b_max, D))
+    S0B = jnp.broadcast_to(jnp.eye(D), (n_blocks, b_max, D, D))
+    AB = S0B
+    QB = S0B * jnp.asarray(
+        rng.uniform(0.5, 2.0, size=(n_blocks, b_max, 1, 1)).astype(np.float32)
+    )
+    CB = S0B
+    mask = jnp.asarray(
+        np.array([[1.0, 0.0], [1.0, 1.0], [1.0, 1.0]], np.float32)
+    )
+    s0 = jnp.asarray(np.array([0.4, -0.3, 0.1], np.float32))
+
+    # quadratic in log s with a per-member offset drawn from the operands:
+    # cheap to compile, distinct minimum per member, exercises the stop rule
+    def fake_batched(yF, m0F, S0F, AF, sQF, CF, rF):
+        target = jnp.mean(rF, axis=-1)  # (N,)
+        s_log = jnp.log(sQF[:, 0, 0])
+        return -(100.0 * (s_log - target) ** 2 + jnp.mean(yF, axis=(1, 2)) ** 2)
+
+    def fake_single(y, m0, S0, A, sQ, C, r, h_fn, sequential):
+        ll = fake_batched(
+            y[None], m0[None], S0[None], A[None], sQ[None], C[None], r[None]
+        )[0]
+        return -ll
+
+    monkeypatch.setattr(core, "filter_nll_parallel_planes_batched", fake_batched)
+    monkeypatch.setattr(core, "_filter_nll", fake_single)
+
+    # bypass the jit wrapper so the monkeypatched losses are traced fresh
+    fn = core._optimize_blocks.__wrapped__.__wrapped__
+    kw = dict(
+        h_fn=None, sequential=False, lr=0.25, s_lo=-8.0, s_hi=8.0,
+        tol=1e-2, safety_cap=50,
+    )
+    sv, lv, iv = fn(yB, rB, m0B, S0B, AB, QB, CB, mask, s0, joint=False, **kw)
+    sj, lj, ij = fn(yB, rB, m0B, S0B, AB, QB, CB, mask, s0, joint=True, **kw)
+
+    np.testing.assert_array_equal(np.asarray(iv), np.asarray(ij))
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(sj), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(lv), np.asarray(lj), rtol=0, atol=0)
