@@ -54,6 +54,7 @@ from eks_tpu.ops.pkalman import (
     ekf_parallel,
     eks_parallel,
     filter_nll_parallel_planes_batched,
+    force_soa_scan,
     kalman_filter_parallel,
     kalman_smoother_parallel,
 )
@@ -199,13 +200,17 @@ def _as_traceable_emission(h_fn):
 _FORCE_PLANE_OPT: Optional[bool] = None
 
 
-def _plane_opt_enabled() -> bool:
+def _plane_opt_enabled(mesh=None) -> bool:
     """Whether the optimizer should take the joint plane-NLL path. TPU-only
     by default (XLA:CPU's LLVM backend chokes on the plane graph — see
     ``_optimize_blocks``); resolved at call time so it lands in the jit key
-    as the static ``joint`` argument."""
+    as the static ``joint`` argument. With a mesh the decision follows the
+    MESH platform, not the ambient backend: a CPU-fallback mesh on a
+    TPU-ambient machine compiles for XLA:CPU inside shard_map."""
     if _FORCE_PLANE_OPT is not None:
         return _FORCE_PLANE_OPT
+    if mesh is not None:
+        return mesh.devices.flat[0].platform == "tpu"
     return jax.default_backend() == "tpu"
 
 
@@ -349,7 +354,10 @@ def _optimize_blocks_joint(
     Semantics are the batching rule's: bodies run for every lane each joint
     iteration, and a lane's carry (s, Adam state incl. per-lane count, loss,
     iteration count, done flag) only commits while that lane is active.
-    Iterates are bitwise-identical to ``vmap(optimize_one)``.
+    The LOOP is bitwise-identical to ``vmap(optimize_one)`` (pinned by
+    tests/test_core.py with an injected loss); shipped iterates differ from
+    the vmapped twin at float level (~1e-5 rel) because the loss
+    implementation differs too — plane NLL here, generic filter there.
     """
     n_blocks, b_max = yB.shape[:2]
     n_flat = n_blocks * b_max
@@ -555,7 +563,7 @@ def optimize_smooth_param(
         tol=float(tol),
         safety_cap=int(safety_cap),
         joint=bool(
-            _plane_opt_enabled() and h_fn is None and not sequential
+            _plane_opt_enabled(mesh) and h_fn is None and not sequential
         ),
     )
     if mesh is not None and partition == "keypoint":
@@ -613,6 +621,18 @@ def _smooth_all(ys, m0s, S0s, As, Qs, Cs, s_finals, rs, h_fn=None, sequential=Fa
         return res.smoothed_means, res.smoothed_covs
 
     return vmap(smooth_one)(ys, m0s, S0s, As, Qs, Cs, s_finals, rs)
+
+
+def _pk_force_soa_value(mesh) -> bool:
+    """Scan-element layout for a mesh run: an explicit ``force_soa_scan`` in
+    scope wins; otherwise scalar-plane SoA only when the mesh devices are
+    TPUs (the ambient default backend is the wrong signal — a CPU test mesh
+    can coexist with a TPU-ambient process)."""
+    from eks_tpu.ops import pkalman as _pk
+
+    if _pk._FORCE_SOA is not None:
+        return _pk._FORCE_SOA
+    return mesh.devices.flat[0].platform == "tpu"
 
 
 def run_kalman_smoother(
@@ -673,8 +693,12 @@ def run_kalman_smoother(
                 (ys, m0s, S0s, As, Cs, Qs, ensemble_vars)
             )
             # a fused single-device kernel cannot span the sharded scan axis;
-            # the XLA associative scan partitions with collectives instead
-            with force_pallas_scan(False):
+            # the XLA associative scan partitions with collectives instead.
+            # The scan-element LAYOUT must follow the mesh platform too: on
+            # a CPU mesh under a TPU-ambient process, auto-SoA would compile
+            # the unrolled scalar-plane graph on XLA:CPU (minutes of LLVM).
+            soa = _pk_force_soa_value(mesh)
+            with force_pallas_scan(False), force_soa_scan(soa):
                 return _run_kalman_smoother_impl(
                     ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
                     smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,
@@ -702,7 +726,10 @@ def run_kalman_smoother(
         enabled = _pf._FORCE_PALLAS
         if enabled is None and not mesh_is_tpu:
             enabled = False
-        with _pf.force_pallas_scan(enabled):
+        # same mesh-platform rule for the scan-element layout (_use_soa):
+        # auto-SoA on a CPU mesh would hand XLA:CPU the unrolled plane graph
+        soa = _pk_force_soa_value(mesh)
+        with _pf.force_pallas_scan(enabled), force_soa_scan(soa):
             return _run_kalman_smoother_impl(
                 ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
                 smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,

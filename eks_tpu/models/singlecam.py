@@ -172,8 +172,12 @@ def ensemble_kalman_smoother_singlecam(
     if prep == "host":
         if s_frames or (devices is not None and devices > 1):
             # cropping is host-side; the mesh path shards host arrays
-            # straight onto its devices — keep everything on host here
+            # straight onto its devices — keep EVERYTHING on host here,
+            # including the means (the packaging jit places them where the
+            # smoothed moments live; an eager upload would commit them to
+            # the ambient default device instead)
             ys, ens_vars_in, S0s = ys_np, stats_host[..., 2:4], S0s_np
+            means_dev = means_np
         else:
             # exactly two uploads feed the whole device pipeline
             ys = jnp.asarray(ys_np)
@@ -181,7 +185,7 @@ def ensemble_kalman_smoother_singlecam(
                 np.ascontiguousarray(stats_host[..., 2:4])
             )
             S0s = jnp.asarray(S0s_np)
-        means_dev = jnp.asarray(means_np)
+            means_dev = jnp.asarray(means_np)
     elif s_frames:
         # loss-frame cropping happens host-side; one batched pull of the
         # prep results (per-array pulls each pay a transfer round-trip)

@@ -32,6 +32,7 @@ dynamax scan hot loop (eks/core.py:290-291,469,648).
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
@@ -367,7 +368,16 @@ def _scan_fn_batched(kind: str, D: int, T: int, interpret: bool):
     pkb = _batch_tile(2 * n_planes, T)
     if min(kb, pkb) == 0:
         # full-T tiles for 8 lanes exceed VMEM: fall back to the vmapped
-        # single-lane kernel (pallas serializes the batch as a grid dim)
+        # single-lane kernel (pallas serializes the batch as a grid dim).
+        # This is the NORMAL path at long T — e.g. the 10k-frame flagship,
+        # where the paired-JVP tile for 8 lanes needs ~21 MB. A time-chunked
+        # carry-across-grid kernel was built and measured SLOWER there
+        # (padding + 5-D relayouts ate the sublane win), so the fallback is
+        # the deliberate choice, not a gap.
+        logging.getLogger("eks_tpu.ops").debug(
+            f"lane-batched scan: T={T} exceeds the VMEM budget for 8 "
+            f"{kind}/D={D} lanes; using the vmapped single-lane kernel"
+        )
         return jax.vmap(_scan_fn(kind, D, interpret))
     kernel = _make_scan_kernel_batched(n_planes, combine, ident_vec)
     pkernel = _make_scan_kernel_batched(2 * n_planes, pcombine, pident)

@@ -211,6 +211,29 @@ def optimize_and_smooth_sharded(
 
     Returns host arrays (s_finals (K,), ms (K, T, D), Vs (K, T, D, D)).
     """
+    # kernel dispatch and scan layout must follow the MESH platform, not the
+    # ambient default backend (a CPU test mesh can coexist with a
+    # TPU-ambient process; auto-SoA/Pallas there would compile pathological
+    # graphs on XLA:CPU) — same rule as core.run_kalman_smoother
+    from eks_tpu.core import _pk_force_soa_value
+    from eks_tpu.ops import pallas_filter as _pf
+    from eks_tpu.ops.pkalman import force_soa_scan
+
+    mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
+    pallas = _pf._FORCE_PALLAS
+    if pallas is None and not mesh_is_tpu:
+        pallas = False
+    with _pf.force_pallas_scan(pallas), force_soa_scan(_pk_force_soa_value(mesh)):
+        return _optimize_and_smooth_sharded_impl(
+            ys, m0s, S0s, As, Qs, Cs, ensemble_vars, mesh, s_log_init,
+            lr, tol, safety_cap, min_R_var, axis_name,
+        )
+
+
+def _optimize_and_smooth_sharded_impl(
+    ys, m0s, S0s, As, Qs, Cs, ensemble_vars, mesh, s_log_init,
+    lr, tol, safety_cap, min_R_var, axis_name,
+):
     K = ys.shape[0]
 
     vars_clipped = np.clip(np.asarray(ensemble_vars), 1e-12, None)
@@ -253,7 +276,7 @@ def optimize_and_smooth_sharded(
         lr=float(lr),
         tol=float(tol),
         safety_cap=int(safety_cap),
-        joint=_core_plane_opt_enabled(),
+        joint=_core_plane_opt_enabled(mesh),
     )
     s_finals = jnp.exp(jnp.clip(s_log_f, -8.0, 8.0))
 
