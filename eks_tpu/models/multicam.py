@@ -885,7 +885,18 @@ def _smoother_multicam_nonlinear_fused(
     _t0 = time.perf_counter()
     sm4 = _package_multicam_nonlinear(ms, Vs, evars, Ks_j, dists_j, extr_j)
     arr_3d = _package_3d(ms, Vs)
-    sm4_np, arr_3d_np, stats_np = jax.device_get((sm4, arr_3d, stats))
+    # the ensemble-stat output columns are recomputed on the host CPU
+    # backend from the raw planes (already host-resident) while the device
+    # finishes smoothing + reprojection — the (C, T, K, 5) stats block then
+    # never rides the device link, shrinking the one batched pull to the
+    # smoother-dependent outputs
+    with jax.default_device(jax.devices("cpu")[0]):
+        stats_host = _ensemble_kernel(
+            arr[..., 0], arr[..., 1], arr[..., 2], M, avg_mode, var_mode,
+            1000.0,
+        )
+    stats_np = np.asarray(stats_host)
+    sm4_np, arr_3d_np = jax.device_get((sm4, arr_3d))
 
     camera_dfs = _assemble_camera_dfs(sm4_np, stats_np, keypoint_names)
     labels_3d = ["x", "y", "z", "x_posterior_var", "y_posterior_var", "z_posterior_var"]
