@@ -314,6 +314,32 @@ def bench_multicam(rng, frames=10_000, kps=10):
     return frames / min(once() for _ in range(3))
 
 
+def bench_multicam_inflate(rng, frames=5_000, kps=5):
+    """Linear multicam with the Mahalanobis variance-inflation fixed point:
+    host sklearn-parity FA refits per round (bit-exact by design) + device
+    smoothing — the general host-staged path the CLI uses by default."""
+    from eks_tpu.marker_array import MarkerArray
+    from eks_tpu.models.multicam import ensemble_kalman_smoother_multicam
+
+    M, C = 5, 2
+    base = rng.normal(size=(1, C, frames, kps, 2)).cumsum(axis=2) * 0.3 + 50
+    arr = np.zeros((M, C, frames, kps, 3), dtype=np.float32)
+    arr[..., :2] = base + rng.normal(size=(M, C, frames, kps, 2)) * 0.3
+    arr[..., 2] = rng.uniform(0.8, 1.0, size=(M, C, frames, kps))
+    ma = MarkerArray(arr, data_fields=["x", "y", "likelihood"])
+    names = [f"kp{i}" for i in range(kps)]
+
+    def once():
+        t0 = time.perf_counter()
+        ensemble_kalman_smoother_multicam(
+            ma, names, ["cam0", "cam1"], inflate_vars=True, n_latent=3
+        )
+        return time.perf_counter() - t0
+
+    once()
+    return frames / min(once() for _ in range(3))
+
+
 def bench_pupil(rng, frames=10_000):
     """IBL-pupil family (3-state AR(1), 2-param sigmoid optimizer)."""
     from eks_tpu.marker_array import MarkerArray
@@ -487,6 +513,7 @@ def main():
     for name, fn in [
         ("multicam_linear", bench_multicam),
         ("multicam_calibrated", bench_multicam_calibrated),
+        ("multicam_inflate", bench_multicam_inflate),
         ("ibl_pupil", bench_pupil),
         ("ibl_paw", bench_paw),
     ]:
