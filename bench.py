@@ -314,6 +314,30 @@ def bench_multicam(rng, frames=10_000, kps=10):
     return frames / min(once() for _ in range(3))
 
 
+def bench_singlecam_k100(rng, frames=10_000, kps=100):
+    """Keypoint-scaling probe: the flagship family at 5x the keypoint count.
+    Reported in KEYPOINT-frames/s (T*K / wall) so it is comparable across
+    K — the joint optimizer and batched kernels amortize with lane count,
+    so this number should sit well above the K=20 headline's T*K rate."""
+    from eks_tpu.marker_array import MarkerArray
+    from eks_tpu.models.singlecam import ensemble_kalman_smoother_singlecam
+
+    truth = rng.normal(size=(1, 1, frames, kps, 2)).cumsum(axis=2)
+    arr = np.zeros((SEEDS, 1, frames, kps, 3), dtype=np.float32)
+    arr[..., :2] = truth + rng.normal(size=(SEEDS, 1, frames, kps, 2)) * 0.5
+    arr[..., 2] = rng.uniform(0.7, 1.0, size=(SEEDS, 1, frames, kps))
+    ma = MarkerArray(arr, data_fields=["x", "y", "likelihood"])
+    names = [f"kp{i}" for i in range(kps)]
+
+    def once():
+        t0 = time.perf_counter()
+        ensemble_kalman_smoother_singlecam(ma, names)
+        return time.perf_counter() - t0
+
+    once()
+    return frames * kps / min(once() for _ in range(3))
+
+
 def bench_multicam_inflate(rng, frames=5_000, kps=5):
     """Linear multicam with the Mahalanobis variance-inflation fixed point:
     host sklearn-parity FA refits per round (bit-exact by design) + device
@@ -511,6 +535,7 @@ def main():
 
     families = {}
     for name, fn in [
+        ("singlecam_k100_kpframes", bench_singlecam_k100),
         ("multicam_linear", bench_multicam),
         ("multicam_calibrated", bench_multicam_calibrated),
         ("multicam_inflate", bench_multicam_inflate),
