@@ -18,7 +18,7 @@ import pandas as pd
 
 from eks_tpu.marker_array import MarkerArray, input_dfs_to_markerArray
 from eks_tpu.models.multicam import ensemble_kalman_smoother_multicam
-from eks_tpu.utils import convert_lp_dlc
+from eks_tpu.utils import convert_lp_dlc, save_dlc_csv
 
 __all__ = [
     "fit_eks_multicam_ibl_paw",
@@ -170,5 +170,7 @@ def fit_eks_multicam_ibl_paw(
 
     os.makedirs(save_dir, exist_ok=True)
     for c, camera in enumerate(CAMERA_NAMES):
-        camera_dfs[c].to_csv(os.path.join(save_dir, f"multicam_{camera}_results.csv"))
+        save_dlc_csv(
+            camera_dfs[c], os.path.join(save_dir, f"multicam_{camera}_results.csv")
+        )
     return camera_dfs, s_finals, input_dfs_list, BODYPART_LIST

@@ -43,7 +43,12 @@ from eks_tpu.ops.pkalman import (
     kalman_filter_parallel,
     kalman_smoother_parallel,
 )
-from eks_tpu.utils import crop_frames, format_data, make_dlc_pandas_index
+from eks_tpu.utils import (
+    crop_frames,
+    format_data,
+    make_dlc_pandas_index,
+    save_dlc_csv,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -156,7 +161,7 @@ def fit_eks_pupil(
     save_dir = os.path.dirname(save_file)
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
-    df_smoothed.to_csv(save_file)
+    save_dlc_csv(df_smoothed, save_file)
     logger.info("results packaged into output CSV frames")
     return df_smoothed, smooth_params_final, input_dfs_list, BODYPART_LIST
 

@@ -52,7 +52,12 @@ from eks_tpu.marker_array import (
     stacked_array_to_mA,
 )
 from eks_tpu.stats import PCA, compute_mahalanobis, compute_pca
-from eks_tpu.utils import center_predictions, format_data, make_dlc_pandas_index
+from eks_tpu.utils import (
+    center_predictions,
+    format_data,
+    make_dlc_pandas_index,
+    save_dlc_csv,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -160,7 +165,7 @@ def fit_eks_mirrored_multicam(
     save_dir = os.path.dirname(save_file)
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
-    final_df.to_csv(save_file)
+    save_dlc_csv(final_df, save_file)
     return final_df, s_finals, input_dfs_list, bodypart_list
 
 
@@ -229,9 +234,11 @@ def fit_eks_multicam(
 
     os.makedirs(save_dir, exist_ok=True)
     for c, camera in enumerate(camera_names):
-        camera_dfs[c].to_csv(os.path.join(save_dir, f"multicam_{camera}_results.csv"))
+        save_dlc_csv(
+            camera_dfs[c], os.path.join(save_dir, f"multicam_{camera}_results.csv")
+        )
     if save_3d_outputs and calibration is not None:
-        df_3d.to_csv(os.path.join(save_dir, "multicam_3d_results.csv"))
+        save_dlc_csv(df_3d, os.path.join(save_dir, "multicam_3d_results.csv"))
     return camera_dfs, s_finals, input_dfs_list, bodypart_list, df_3d
 
 

@@ -24,7 +24,7 @@ import pandas as pd
 
 from eks_tpu.core import _ensemble_kernel, run_kalman_smoother
 from eks_tpu.marker_array import MarkerArray, input_dfs_to_markerArray
-from eks_tpu.utils import format_data, make_dlc_pandas_index
+from eks_tpu.utils import format_data, make_dlc_pandas_index, save_dlc_csv
 
 logger = logging.getLogger(__name__)
 
@@ -101,7 +101,7 @@ def fit_eks_singlecam(
     save_dir = os.path.dirname(save_file)
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
-    df_smoothed.to_csv(save_file)
+    save_dlc_csv(df_smoothed, save_file)
     logger.info("results packaged into output CSV frames")
     return df_smoothed, s_finals, input_dfs_list, bodypart_list
 

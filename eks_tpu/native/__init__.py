@@ -19,15 +19,19 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["load_dlc_csv_fast", "native_available"]
+__all__ = ["load_dlc_csv_fast", "native_available", "write_dlc_csv_fast"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "fast_csv.cpp")
 _LIB = os.path.join(_DIR, "_fast_csv.so")
+_WSRC = os.path.join(_DIR, "fast_csv_write.cpp")
+_WLIB = os.path.join(_DIR, "_fast_csv_write.so")
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _tried = False
+_wlib: ctypes.CDLL | None = None
+_wtried = False
 
 
 def _build() -> bool:
@@ -74,6 +78,95 @@ def _get_lib() -> ctypes.CDLL | None:
             logger.debug(f"native csv loader unavailable: {e}")
             _lib = None
         return _lib
+
+
+def _get_wlib() -> ctypes.CDLL | None:
+    global _wlib, _wtried
+    with _lock:
+        if _wlib is not None or _wtried:
+            return _wlib
+        _wtried = True
+        try:
+            stale = (not os.path.exists(_WLIB)) or (
+                os.path.getmtime(_WLIB) < os.path.getmtime(_WSRC)
+            )
+            if stale:
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        _WSRC, "-o", _WLIB,
+                    ],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(_WLIB)
+            for name, ctype in (
+                ("dlc_csv_write_f32", ctypes.c_float),
+                ("dlc_csv_write_f64", ctypes.c_double),
+            ):
+                fn = getattr(lib, name)
+                fn.restype = ctypes.c_long
+                fn.argtypes = [
+                    ctypes.c_char_p,  # path
+                    ctypes.c_char_p,  # header bytes
+                    ctypes.c_longlong,  # header length
+                    ctypes.POINTER(ctype),  # data
+                    ctypes.c_longlong,  # rows
+                    ctypes.c_longlong,  # cols
+                    ctypes.c_longlong,  # index start
+                ]
+            _wlib = lib
+        except Exception as e:  # no compiler / sandboxed build env
+            logger.debug(f"native csv writer unavailable: {e}")
+            _wlib = None
+        return _wlib
+
+
+def write_dlc_csv_fast(df, path: str) -> bool:
+    """Write a homogeneous float DataFrame with a unit-step integer index as
+    CSV, byte-identical to ``df.to_csv(path)`` (pandas repr formatting, NaN
+    as empty field, header rows rendered by pandas itself). Returns False —
+    caller falls back to pandas — for anything the fast path does not
+    cover (mixed dtypes, exotic index, no compiler)."""
+    import pandas as pd
+
+    lib = _get_wlib()
+    if lib is None:
+        return False
+    try:
+        index = df.index
+        if isinstance(index, pd.RangeIndex):
+            if index.step != 1:
+                return False
+            start = int(index.start)
+        else:
+            vals = np.asarray(index)
+            if vals.ndim != 1 or vals.dtype.kind != "i" or (
+                len(vals) > 1 and not np.array_equal(
+                    vals, np.arange(vals[0], vals[0] + len(vals))
+                )
+            ):
+                return False
+            start = int(vals[0]) if len(vals) else 0
+        data = df.to_numpy()
+        if data.dtype == np.float32:
+            fn, ctype = lib.dlc_csv_write_f32, ctypes.c_float
+        elif data.dtype == np.float64:
+            fn, ctype = lib.dlc_csv_write_f64, ctypes.c_double
+        else:
+            return False
+        header = df.head(0).to_csv().encode("utf-8")
+        data = np.ascontiguousarray(data)
+        rc = fn(
+            os.fsencode(path), header, len(header),
+            data.ctypes.data_as(ctypes.POINTER(ctype)),
+            data.shape[0], data.shape[1], start,
+        )
+        return rc == 0
+    except Exception as e:  # pragma: no cover
+        logger.debug(f"native csv write failed, falling back to pandas: {e}")
+        return False
 
 
 def native_available() -> bool:

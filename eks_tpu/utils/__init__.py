@@ -13,6 +13,7 @@ from eks_tpu.utils.io import (
     format_data,
     get_keypoint_names,
     make_dlc_pandas_index,
+    save_dlc_csv,
 )
 
 __all__ = [
@@ -25,6 +26,7 @@ __all__ = [
     "format_data",
     "get_keypoint_names",
     "make_dlc_pandas_index",
+    "save_dlc_csv",
     "cost_summary",
     "device_trace",
     "stage_timer",

@@ -86,3 +86,63 @@ def test_malformed_file_returns_none(tmp_path):
     p.write_text("just,one,line\n")
     assert load_dlc_csv_fast(str(p)) is None
     assert load_dlc_csv_fast(str(tmp_path / "missing.csv")) is None
+
+
+class TestNativeCsvWriter:
+    """The native writer must be byte-identical to df.to_csv for every
+    table shape the smoothers emit."""
+
+    def _frame(self, dtype, T=97, K=3):
+        rng = np.random.default_rng(0)
+        cols = pd.MultiIndex.from_product(
+            [["ensemble-kalman_tracker"], [f"kp{i}" for i in range(K)],
+             ["x", "y", "likelihood"]],
+            names=["scorer", "bodyparts", "coords"],
+        )
+        vals = rng.normal(size=(T, K * 3)).astype(dtype)
+        # exercise the formatter's branches: integral, tiny, huge, special
+        vals[0, 0] = 2.0
+        vals[1, 0] = 1e-8
+        vals[2, 0] = 1.5e16
+        vals[3, 0] = -0.0
+        vals[4, 0] = np.nan
+        vals[5, 0] = 123456.789
+        vals[6, 0] = np.inf
+        vals[7, 0] = 0.1
+        return pd.DataFrame(vals, columns=cols)
+
+    @pytest.mark.parametrize("dtype", [np.float32, np.float64])
+    def test_byte_identical_to_pandas(self, tmp_path, dtype):
+        from eks_tpu.native import write_dlc_csv_fast
+
+        df = self._frame(dtype)
+        fast, ref = tmp_path / "fast.csv", tmp_path / "ref.csv"
+        if not write_dlc_csv_fast(df, str(fast)):
+            pytest.skip("native writer unavailable (no compiler)")
+        df.to_csv(ref)
+        assert fast.read_bytes() == ref.read_bytes()
+
+    def test_save_dlc_csv_falls_back(self, tmp_path):
+        """Non-float tables must round-trip through the pandas fallback."""
+        from eks_tpu.utils import save_dlc_csv
+
+        df = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+        p = tmp_path / "mixed.csv"
+        save_dlc_csv(df, str(p))
+        assert p.read_text() == df.to_csv()
+
+    def test_random_values_byte_identical(self, tmp_path):
+        """Fuzz the formatter across magnitudes (1e-40..1e20, f32)."""
+        from eks_tpu.native import write_dlc_csv_fast
+
+        rng = np.random.default_rng(1)
+        exps = rng.uniform(-40, 20, size=(500, 4))
+        vals = (rng.choice([-1.0, 1.0], size=exps.shape)
+                * rng.uniform(1, 10, size=exps.shape)
+                * 10.0 ** exps).astype(np.float32)
+        df = pd.DataFrame(vals)
+        fast, ref = tmp_path / "f.csv", tmp_path / "r.csv"
+        if not write_dlc_csv_fast(df, str(fast)):
+            pytest.skip("native writer unavailable (no compiler)")
+        df.to_csv(ref)
+        assert fast.read_bytes() == ref.read_bytes()
