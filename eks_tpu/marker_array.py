@@ -238,8 +238,14 @@ def input_dfs_to_markerArray(
     )
     for c in range(len(camera_names)):
         for m in range(n_models):
-            # one (T, K*F) gather, then fold the trailing axis into (K, F)
-            block = input_dfs_list[c][m][wanted].to_numpy()
+            # one (T, K*F) gather, then fold the trailing axis into (K, F);
+            # loaders emit columns in exactly this order, so the common case
+            # skips the label-based reindex entirely
+            df = input_dfs_list[c][m]
+            if list(df.columns) == wanted:
+                block = df.to_numpy()
+            else:
+                block = df[wanted].to_numpy()
             planes[m, c] = block.reshape(
                 n_frames, len(bodypart_list), len(data_fields)
             )

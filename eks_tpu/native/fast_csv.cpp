@@ -14,6 +14,7 @@
 //   dlc_csv_close(handle)
 
 #include <cstdint>
+#include <charconv>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -122,15 +123,21 @@ void* dlc_csv_open(const char* path) {
     }
     ++cell;
     for (int64_t c = 0; c < out->cols; ++c) {
-      char* next = nullptr;
-      double v = std::strtod(cell, &next);
-      if (next == cell) {
-        // empty cell or non-numeric -> NaN, advance to next comma
-        v = std::strtod("nan", nullptr);
-      }
-      *dst++ = v;
       const char* comma = static_cast<const char*>(
           std::memchr(cell, ',', static_cast<size_t>(line_end - cell)));
+      const char* cell_end = comma ? comma : line_end;
+      // from_chars is correctly rounded like glibc strtod (identical
+      // values) at a fraction of the cost; strtod remains the fallback for
+      // forms from_chars rejects (leading '+'/whitespace), empty cells and
+      // non-numerics become NaN as before
+      double v;
+      auto res = std::from_chars(cell, cell_end, v);
+      if (res.ec != std::errc()) {
+        char* next = nullptr;
+        v = std::strtod(cell, &next);
+        if (next == cell) v = std::strtod("nan", nullptr);
+      }
+      *dst++ = v;
       if (!comma) break;
       cell = comma + 1;
     }
