@@ -469,10 +469,11 @@ def bench_paw(rng, frames=10_000, kps=4):
 
 
 def measure_accelerator(marker_arr):
-    # warm-up compiles everything; best-of-3 steady-state runs (host<->device
-    # transfer time over a remote-attached chip is the dominant noise source)
+    # warm-up compiles everything; best-of-5 steady-state runs (host<->device
+    # transfer time over a remote-attached chip is the dominant noise source,
+    # with >±20% swing between runs — min over 5 keeps the headline stable)
     run_pipeline(marker_arr, sequential=False)
-    results = [run_pipeline(marker_arr, sequential=False) for _ in range(3)]
+    results = [run_pipeline(marker_arr, sequential=False) for _ in range(5)]
     return min(r[0] for r in results), results[0][1]
 
 
@@ -503,10 +504,12 @@ def measure_cpu_baseline(marker_arr):
         per_iter = max((t6 - t1) / 5.0, 0.0)
         projected = t1 + per_iter * 120
         if projected <= 900.0:
-            elapsed, joint = _reference_equivalent_pipeline(
-                marker_arr, cap=SAFETY_CAP
-            )
-            method = f"measured full run ({joint} joint iters)"
+            # min-of-2: the single-core host runs under variable contention
+            # and a lone measurement has been observed to swing ~2x
+            e1, joint = _reference_equivalent_pipeline(marker_arr, cap=SAFETY_CAP)
+            e2, _ = _reference_equivalent_pipeline(marker_arr, cap=SAFETY_CAP)
+            elapsed = min(e1, e2)
+            method = f"measured full run, min of 2 ({joint} joint iters)"
         else:
             elapsed = t1 + per_iter * 89
             method = "slope extrapolation to 90 joint iters"
