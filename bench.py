@@ -506,9 +506,9 @@ def measure_cpu_baseline(marker_arr):
         if projected <= 900.0:
             # min-of-2: the single-core host runs under variable contention
             # and a lone measurement has been observed to swing ~2x
-            e1, joint = _reference_equivalent_pipeline(marker_arr, cap=SAFETY_CAP)
-            e2, _ = _reference_equivalent_pipeline(marker_arr, cap=SAFETY_CAP)
-            elapsed = min(e1, e2)
+            e1, joint1 = _reference_equivalent_pipeline(marker_arr, cap=SAFETY_CAP)
+            e2, joint2 = _reference_equivalent_pipeline(marker_arr, cap=SAFETY_CAP)
+            elapsed, joint = min((e1, joint1), (e2, joint2))
             method = f"measured full run, min of 2 ({joint} joint iters)"
         else:
             elapsed = t1 + per_iter * 89

@@ -54,7 +54,6 @@ from eks_tpu.ops.pkalman import (
     ekf_parallel,
     eks_parallel,
     filter_nll_parallel_planes_batched,
-    force_soa_scan,
     kalman_filter_parallel,
     kalman_smoother_parallel,
 )
@@ -623,18 +622,6 @@ def _smooth_all(ys, m0s, S0s, As, Qs, Cs, s_finals, rs, h_fn=None, sequential=Fa
     return vmap(smooth_one)(ys, m0s, S0s, As, Qs, Cs, s_finals, rs)
 
 
-def _pk_force_soa_value(mesh) -> bool:
-    """Scan-element layout for a mesh run: an explicit ``force_soa_scan`` in
-    scope wins; otherwise scalar-plane SoA only when the mesh devices are
-    TPUs (the ambient default backend is the wrong signal — a CPU test mesh
-    can coexist with a TPU-ambient process)."""
-    from eks_tpu.ops import pkalman as _pk
-
-    if _pk._FORCE_SOA is not None:
-        return _pk._FORCE_SOA
-    return mesh.devices.flat[0].platform == "tpu"
-
-
 def run_kalman_smoother(
     ys: jnp.ndarray,  # (K, T, O)
     m0s: jnp.ndarray,  # (K, D)
@@ -685,20 +672,18 @@ def run_kalman_smoother(
         from eks_tpu.parallel.mesh import make_mesh
 
         if partition == "time":
-            from eks_tpu.ops.pallas_filter import force_pallas_scan
+            from eks_tpu.parallel.mesh import mesh_dispatch
 
             mesh = make_mesh(devices, axis_name="t")
             logger.info(f"time-axis sequence parallelism over {devices} devices")
             ys, m0s, S0s, As, Cs, Qs, ensemble_vars = jax.device_get(
                 (ys, m0s, S0s, As, Cs, Qs, ensemble_vars)
             )
-            # a fused single-device kernel cannot span the sharded scan axis;
-            # the XLA associative scan partitions with collectives instead.
-            # The scan-element LAYOUT must follow the mesh platform too: on
-            # a CPU mesh under a TPU-ambient process, auto-SoA would compile
-            # the unrolled scalar-plane graph on XLA:CPU (minutes of LLVM).
-            soa = _pk_force_soa_value(mesh)
-            with force_pallas_scan(False), force_soa_scan(soa):
+            # pallas=False: a fused single-device kernel cannot span the
+            # sharded scan axis; the XLA associative scan partitions with
+            # collectives instead. mesh_dispatch also pins the scan-element
+            # layout to the mesh platform.
+            with mesh_dispatch(mesh, pallas=False):
                 return _run_kalman_smoother_impl(
                     ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
                     smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,
@@ -715,21 +700,14 @@ def run_kalman_smoother(
         )
         # the batched programs run under shard_map on the mesh devices, so
         # each device executes the fused Pallas kernels on its local lanes —
-        # no SPMD partitioning of the pallas_call is needed. Dispatch must
-        # follow the MESH platform though, not the ambient default backend
-        # (one real TPU chip may coexist with a CPU test mesh): on a CPU
-        # mesh the auto-dispatch would wrongly pick Pallas. An explicit
-        # force_pallas_scan in scope still wins.
-        from eks_tpu.ops import pallas_filter as _pf
+        # no SPMD partitioning of the pallas_call is needed. Kernel dispatch
+        # and scan layout must follow the MESH platform, not the ambient
+        # default backend (one real TPU chip may coexist with a CPU test
+        # mesh); mesh_dispatch applies that rule, with any explicit force_*
+        # context in scope winning.
+        from eks_tpu.parallel.mesh import mesh_dispatch
 
-        mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
-        enabled = _pf._FORCE_PALLAS
-        if enabled is None and not mesh_is_tpu:
-            enabled = False
-        # same mesh-platform rule for the scan-element layout (_use_soa):
-        # auto-SoA on a CPU mesh would hand XLA:CPU the unrolled plane graph
-        soa = _pk_force_soa_value(mesh)
-        with _pf.force_pallas_scan(enabled), force_soa_scan(soa):
+        with mesh_dispatch(mesh):
             return _run_kalman_smoother_impl(
                 ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
                 smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,

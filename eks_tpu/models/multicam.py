@@ -786,7 +786,7 @@ def _prep_multicam_nonlinear(
 
     Inputs: (M, C, T, K) prediction planes + stacked camera params
     (Ks (C,3,3), dists (C,14), extr (C,3,4)). Returns
-    (stats (C,T,K,5), ys (K,T,2C) raw pixel obs, evars (K,T,2C),
+    (ys (K,T,2C) raw pixel obs, evars (K,T,2C),
     m0s, S0s, As, Qs, Cs) with a 3-D identity emission placeholder —
     the actual emission is the nonlinear projection h_fn.
     """
@@ -820,7 +820,10 @@ def _prep_multicam_nonlinear(
     qvar = jnp.maximum((1.4826 * mad) ** 2, 1e-8)
     Qs = qvar[:, :, None] * eye3
     As = jnp.broadcast_to(eye3, (K, 3, 3))
-    return stats, ys, evars, m0s, S0s, As, Qs, As
+    # the ensemble-stat table is NOT returned: the caller recomputes the
+    # output columns on the host (the raw planes are host-resident anyway),
+    # and a jit output cannot be dead-code-eliminated by XLA
+    return ys, evars, m0s, S0s, As, Qs, As
 
 
 @jax.jit
@@ -870,7 +873,7 @@ def _smoother_multicam_nonlinear_fused(
     extr_j = jnp.asarray(extr_np)
 
     _t0 = time.perf_counter()
-    stats, ys, evars, m0s, S0s, As, Qs, Cs = _prep_multicam_nonlinear(
+    ys, evars, m0s, S0s, As, Qs, Cs = _prep_multicam_nonlinear(
         jnp.asarray(arr[..., 0]),
         jnp.asarray(arr[..., 1]),
         jnp.asarray(arr[..., 2]),

@@ -34,92 +34,78 @@ _wlib: ctypes.CDLL | None = None
 _wtried = False
 
 
-def _build() -> bool:
+def _load_or_build(src: str, lib_path: str, bind) -> ctypes.CDLL | None:
+    """Compile ``src`` to ``lib_path`` if stale, load it, apply the ctypes
+    signature binder. None when no compiler / build or load fails — every
+    consumer falls back to the pandas path."""
     try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
-            check=True,
-            capture_output=True,
-            timeout=120,
+        stale = (not os.path.exists(lib_path)) or (
+            os.path.getmtime(lib_path) < os.path.getmtime(src)
         )
-        return True
+        if stale:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                 "-o", lib_path],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        lib = ctypes.CDLL(lib_path)
+        bind(lib)
+        return lib
     except Exception as e:  # no compiler / sandboxed build env
-        logger.debug(f"native csv loader build failed: {e}")
-        return False
+        logger.debug(f"native {os.path.basename(src)} unavailable: {e}")
+        return None
+
+
+def _bind_reader(lib) -> None:
+    lib.dlc_csv_open.restype = ctypes.c_void_p
+    lib.dlc_csv_open.argtypes = [ctypes.c_char_p]
+    lib.dlc_csv_rows.restype = ctypes.c_int64
+    lib.dlc_csv_rows.argtypes = [ctypes.c_void_p]
+    lib.dlc_csv_cols.restype = ctypes.c_int64
+    lib.dlc_csv_cols.argtypes = [ctypes.c_void_p]
+    lib.dlc_csv_header.restype = ctypes.c_char_p
+    lib.dlc_csv_header.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.dlc_csv_data.restype = ctypes.POINTER(ctypes.c_double)
+    lib.dlc_csv_data.argtypes = [ctypes.c_void_p]
+    lib.dlc_csv_close.restype = None
+    lib.dlc_csv_close.argtypes = [ctypes.c_void_p]
 
 
 def _get_lib() -> ctypes.CDLL | None:
     global _lib, _tried
     with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        try:
-            stale = (not os.path.exists(_LIB)) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
-            )
-            if stale and not _build():
-                return None
-            lib = ctypes.CDLL(_LIB)
-            lib.dlc_csv_open.restype = ctypes.c_void_p
-            lib.dlc_csv_open.argtypes = [ctypes.c_char_p]
-            lib.dlc_csv_rows.restype = ctypes.c_int64
-            lib.dlc_csv_rows.argtypes = [ctypes.c_void_p]
-            lib.dlc_csv_cols.restype = ctypes.c_int64
-            lib.dlc_csv_cols.argtypes = [ctypes.c_void_p]
-            lib.dlc_csv_header.restype = ctypes.c_char_p
-            lib.dlc_csv_header.argtypes = [ctypes.c_void_p, ctypes.c_int]
-            lib.dlc_csv_data.restype = ctypes.POINTER(ctypes.c_double)
-            lib.dlc_csv_data.argtypes = [ctypes.c_void_p]
-            lib.dlc_csv_close.restype = None
-            lib.dlc_csv_close.argtypes = [ctypes.c_void_p]
-            _lib = lib
-        except Exception as e:  # pragma: no cover
-            logger.debug(f"native csv loader unavailable: {e}")
-            _lib = None
+        if _lib is None and not _tried:
+            _tried = True
+            _lib = _load_or_build(_SRC, _LIB, _bind_reader)
         return _lib
+
+
+def _bind_writer(lib) -> None:
+    for name, ctype in (
+        ("dlc_csv_write_f32", ctypes.c_float),
+        ("dlc_csv_write_f64", ctypes.c_double),
+    ):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_long
+        fn.argtypes = [
+            ctypes.c_char_p,  # path
+            ctypes.c_char_p,  # header bytes
+            ctypes.c_longlong,  # header length
+            ctypes.POINTER(ctype),  # data
+            ctypes.c_longlong,  # rows
+            ctypes.c_longlong,  # cols
+            ctypes.c_longlong,  # index start
+        ]
 
 
 def _get_wlib() -> ctypes.CDLL | None:
     global _wlib, _wtried
     with _lock:
-        if _wlib is not None or _wtried:
-            return _wlib
-        _wtried = True
-        try:
-            stale = (not os.path.exists(_WLIB)) or (
-                os.path.getmtime(_WLIB) < os.path.getmtime(_WSRC)
-            )
-            if stale:
-                subprocess.run(
-                    [
-                        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        _WSRC, "-o", _WLIB,
-                    ],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            lib = ctypes.CDLL(_WLIB)
-            for name, ctype in (
-                ("dlc_csv_write_f32", ctypes.c_float),
-                ("dlc_csv_write_f64", ctypes.c_double),
-            ):
-                fn = getattr(lib, name)
-                fn.restype = ctypes.c_long
-                fn.argtypes = [
-                    ctypes.c_char_p,  # path
-                    ctypes.c_char_p,  # header bytes
-                    ctypes.c_longlong,  # header length
-                    ctypes.POINTER(ctype),  # data
-                    ctypes.c_longlong,  # rows
-                    ctypes.c_longlong,  # cols
-                    ctypes.c_longlong,  # index start
-                ]
-            _wlib = lib
-        except Exception as e:  # no compiler / sandboxed build env
-            logger.debug(f"native csv writer unavailable: {e}")
-            _wlib = None
+        if _wlib is None and not _wtried:
+            _wtried = True
+            _wlib = _load_or_build(_WSRC, _WLIB, _bind_writer)
         return _wlib
 
 
@@ -135,6 +121,11 @@ def write_dlc_csv_fast(df, path: str) -> bool:
     if lib is None:
         return False
     try:
+        # per-COLUMN homogeneity: a mixed f32/f64 frame upcasts in
+        # to_numpy(), which would format the f32 columns with f64 repr and
+        # break byte-equality with pandas — fall back instead
+        if len(set(df.dtypes)) != 1:
+            return False
         index = df.index
         if isinstance(index, pd.RangeIndex):
             if index.step != 1:

@@ -136,7 +136,7 @@ long write_impl(const char* path, const char* header, long long header_len,
         return -2;
     }
     long rc = std::ferror(f) ? -2 : 0;
-    std::fclose(f);
+    if (std::fclose(f) != 0) rc = -2;  // the final flush can fail (ENOSPC)
     return rc;
 }
 

@@ -20,6 +20,7 @@ bundled workload.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -211,19 +212,7 @@ def optimize_and_smooth_sharded(
 
     Returns host arrays (s_finals (K,), ms (K, T, D), Vs (K, T, D, D)).
     """
-    # kernel dispatch and scan layout must follow the MESH platform, not the
-    # ambient default backend (a CPU test mesh can coexist with a
-    # TPU-ambient process; auto-SoA/Pallas there would compile pathological
-    # graphs on XLA:CPU) — same rule as core.run_kalman_smoother
-    from eks_tpu.core import _pk_force_soa_value
-    from eks_tpu.ops import pallas_filter as _pf
-    from eks_tpu.ops.pkalman import force_soa_scan
-
-    mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
-    pallas = _pf._FORCE_PALLAS
-    if pallas is None and not mesh_is_tpu:
-        pallas = False
-    with _pf.force_pallas_scan(pallas), force_soa_scan(_pk_force_soa_value(mesh)):
+    with mesh_dispatch(mesh):
         return _optimize_and_smooth_sharded_impl(
             ys, m0s, S0s, As, Qs, Cs, ensemble_vars, mesh, s_log_init,
             lr, tol, safety_cap, min_R_var, axis_name,
@@ -301,6 +290,32 @@ def _optimize_and_smooth_sharded_impl(
     )
 
 
+@contextlib.contextmanager
+def mesh_dispatch(mesh: Mesh, pallas: bool | None = None):
+    """Pin kernel dispatch (Pallas) and scan-element layout (SoA) to the
+    MESH platform for the enclosed mesh-run. The ambient default backend is
+    the wrong signal: a CPU test mesh can coexist with a TPU-ambient
+    process, where auto dispatch would hand XLA:CPU the Pallas lowering or
+    the unrolled scalar-plane graph (minutes of LLVM compile). An explicit
+    ``force_pallas_scan``/``force_soa_scan`` already in scope wins;
+    ``pallas=False`` hard-disables Pallas (the time-sharded path, where a
+    fused single-device kernel cannot span the sharded scan axis)."""
+    from eks_tpu.ops import pallas_filter as _pf
+    from eks_tpu.ops import pkalman as _pk
+
+    mesh_is_tpu = mesh.devices.flat[0].platform == "tpu"
+    pl = pallas
+    if pl is None:
+        pl = _pf._FORCE_PALLAS
+        if pl is None and not mesh_is_tpu:
+            pl = False
+    soa = _pk._FORCE_SOA
+    if soa is None:
+        soa = mesh_is_tpu
+    with _pf.force_pallas_scan(pl), _pk.force_soa_scan(soa):
+        yield
+
+
 def smooth_time_sharded(
     ys: np.ndarray,  # (T, O)
     m0: np.ndarray,
@@ -332,10 +347,12 @@ def smooth_time_sharded(
     ys_s = jax.device_put(np.asarray(ys), sharding)
     r_s = jax.device_put(np.clip(np.asarray(r_diag), 1e-12, None), sharding)
 
-    res = _smooth_time_jit(
-        ys_s, _replicate(mesh, m0), _replicate(mesh, S0), _replicate(mesh, A),
-        _replicate(mesh, Q), _replicate(mesh, C), r_s,
-    )
+    with mesh_dispatch(mesh, pallas=False):
+        res = _smooth_time_jit(
+            ys_s, _replicate(mesh, m0), _replicate(mesh, S0),
+            _replicate(mesh, A), _replicate(mesh, Q), _replicate(mesh, C),
+            r_s, soa=_pk_soa_state(),
+        )
     return (
         np.asarray(res.log_likelihood),
         np.asarray(res.smoothed_means),
@@ -343,8 +360,18 @@ def smooth_time_sharded(
     )
 
 
-@jax.jit
-def _smooth_time_jit(ys, m0, S0, A, Q, C, r):
+def _pk_soa_state() -> bool:
+    """The currently forced SoA state, as a jit-key-able static."""
+    from eks_tpu.ops import pkalman as _pk
+
+    return bool(_pk._FORCE_SOA)
+
+
+@functools.partial(jax.jit, static_argnames=("soa",))
+def _smooth_time_jit(ys, m0, S0, A, Q, C, r, soa: bool = False):
+    # `soa` only keys the jit cache: dispatch reads the force-context
+    # globals at trace time, so two traces under different scopes must not
+    # share a cache entry
     from eks_tpu.ops.pkalman import kalman_smoother_parallel
 
     return kalman_smoother_parallel(ys, m0, S0, A, Q, C, r)

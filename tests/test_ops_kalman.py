@@ -435,3 +435,37 @@ def test_plane_nll_tv_jvp_matches_finite_difference(rng):
     h = 1e-3
     fd = (float(nll(jnp.asarray(0.2 + h))) - float(nll(jnp.asarray(0.2 - h)))) / (2 * h)
     np.testing.assert_allclose(float(g), fd, rtol=5e-2)
+
+
+def test_plane_nll_batched_d3_value_parity(rng):
+    """Value-only D=3 coverage of the lane-batched kernel (different plane
+    count/tiling than D=2): batched == per-sequence in the Pallas layout.
+    The jvp/finite-difference machinery is exercised at D=2 above — this
+    pins only the D-dependent plane indexing and tile sizing."""
+    from eks_tpu.ops.pallas_filter import force_pallas_scan
+    from eks_tpu.ops.pkalman import (
+        filter_nll_parallel_planes,
+        filter_nll_parallel_planes_batched,
+    )
+
+    N, D, O = 3, 3, 6
+    probs = [make_problem(rng, T=96, D=D, O=O) for _ in range(N)]
+    st = lambda i: jnp.stack([jnp.asarray(p[i]) for p in probs])
+    ys, m0, S0, A, Q, C = st(0), st(1), st(2), st(3), st(4), st(5)
+    r = jnp.stack([jnp.asarray(np.median(p[6], axis=0)) for p in probs])
+
+    single = np.array(
+        [
+            float(
+                filter_nll_parallel_planes(
+                    ys[i], m0[i], S0[i], A[i], Q[i], C[i], r[i]
+                )
+            )
+            for i in range(N)
+        ]
+    )
+    with force_pallas_scan(True):
+        batched = np.asarray(
+            filter_nll_parallel_planes_batched(ys, m0, S0, A, Q, C, r)
+        )
+    np.testing.assert_allclose(batched, single, rtol=1e-5)
