@@ -529,7 +529,42 @@ def measure_cpu_baseline(marker_arr):
     return elapsed
 
 
+def _require_reachable_accelerator(timeout_s: float = 180.0) -> None:
+    """Fail fast with an honest JSON error line if device initialization
+    hangs (the remote-attached tunnel goes fully dark at times) — a bounded
+    failure beats an infinite hang under the driver."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(
+            json.dumps(
+                {
+                    "metric": "smoothed frames/sec/chip",
+                    "value": float("nan"),
+                    "unit": "frames/s",
+                    "vs_baseline": float("nan"),
+                    "error": (
+                        f"accelerator unreachable: device init exceeded "
+                        f"{timeout_s:.0f}s (remote tunnel down?)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+
 def main():
+    _require_reachable_accelerator()
     rng = np.random.default_rng(0)
     marker_arr = make_session(rng)
 
