@@ -134,13 +134,22 @@ def compute_pca(
 # --------------------------------------------------------------------------- #
 # Factor Analysis
 # --------------------------------------------------------------------------- #
+try:  # LAPACK getrf — the exact call sklearn's range finder makes
+    from scipy.linalg import lu as _scipy_lu
+except Exception:  # pragma: no cover
+    _scipy_lu = None
+
+
 def _plu_factor(A: np.ndarray) -> np.ndarray:
     """P @ L of the partially-pivoted LU factorization A = P L U.
 
-    Pure-numpy Doolittle elimination with row pivoting; the permuted
-    unit-lower factor is what sklearn's randomized range finder uses to
-    re-orthogonalize power iterations (scipy.linalg.lu(permute_l=True)).
+    sklearn's randomized range finder re-orthogonalizes power iterations
+    with ``scipy.linalg.lu(permute_l=True)``; call the same LAPACK routine
+    when scipy is importable (identical bits, ~10x the pure-numpy loop),
+    else fall back to Doolittle elimination with the same pivoting rule.
     """
+    if _scipy_lu is not None:
+        return _scipy_lu(np.asarray(A, dtype=np.float64), permute_l=True)[0]
     A = np.array(A, dtype=np.float64)
     m, n = A.shape
     k = min(m, n)
