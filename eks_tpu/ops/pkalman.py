@@ -678,11 +678,22 @@ def filter_nll_parallel_planes_batched(
     lanes per grid step on the sublane axis — instead of N single-lane grid
     steps (a vmapped ``pallas_call`` serializes over a grid dimension, which
     on one TensorCore wastes 7/8 of the VPU's sublanes). Returns (N,) lls.
+
+    On TPU (or under ``force_fused_nll``) the whole loss runs as ONE fused
+    kernel — element build + prefix scan + likelihood epilogue with nothing
+    T-sized ever touching HBM (ops/pallas_nll.py); the staged plane pipeline
+    below remains the oracle and the fallback for D > 3 / O > 8.
     """
     from eks_tpu.ops.pallas_filter import _scan_fn_batched, _use_pallas
+    from eks_tpu.ops.pallas_nll import _use_fused_nll, filter_nll_fused_batched
 
     T = ys.shape[1]
     D = m0.shape[1]
+    if _use_fused_nll(D, ys.shape[2], T):
+        return filter_nll_fused_batched(
+            ys, m0, S0, A, Q, C, r,
+            interpret=jax.default_backend() != "tpu",
+        )
     rows = vmap(_plane_nll_pre)(ys, m0, S0, A, Q, C, r)  # (N, P, T)
     if _use_pallas(D):
         out = _scan_fn_batched(
