@@ -72,6 +72,11 @@ def _use_fused_nll(D: int, O: int, T: int | None = None) -> bool:
 
     if not (D <= 3 and O <= 8):
         return False
+    if _FORCE_FUSED is not None:
+        # an explicit force wins over the VMEM-budget gate below (the direct
+        # call path clamps to the minimum 8-lane tile), so forced fused-vs-
+        # staged comparisons never silently time staged against staged
+        return _FORCE_FUSED
     if T is not None:
         # the fused kernel holds the full padded time axis of every lane in
         # VMEM; when even 8 lanes of the paired (JVP) kernel don't fit, the
@@ -80,8 +85,6 @@ def _use_fused_nll(D: int, O: int, T: int | None = None) -> bool:
         _, _, n_planes = _filter_algebra(D)
         if _fused_batch_tile(O, n_scal, n_planes, 2, T) < 8:
             return False
-    if _FORCE_FUSED is not None:
-        return _FORCE_FUSED
     return _use_pallas(D)
 
 
@@ -400,12 +403,35 @@ def _fused_call(kernel, nm, y_planes, scal, L, T, interpret, kb_max):
     return jnp.sum(out, axis=2)[:, :N]
 
 
+def _unpack_scalars(scal, D: int, O: int):
+    """Inverse of the epilogue blocks of :func:`_pack_scalars`: slice the raw
+    model parameters (m0, S0, A, Q, C, r) back out of a (N, n_scal) scalar
+    table. The table carries them verbatim (they feed the kernel's
+    epilogue), so both primal values AND tangents round-trip exactly."""
+    offs, _ = _scalar_offsets(D, O)
+
+    def block(name, *shape):
+        n = math.prod(shape)
+        seg = scal[:, offs[name]: offs[name] + n]
+        return seg.reshape((scal.shape[0],) + shape)
+
+    return (
+        block("m0", D),
+        block("S0", D, D),
+        block("A", D, D),
+        block("Q", D, D),
+        block("Cobs", O, D),
+        block("r", O),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_fn(D: int, O: int, T: int, interpret: bool):
     """Differentiable fused NLL over (scal (N, n_scal), y_planes (N, O, T)).
-    The custom JVP reruns the kernel on a paired scalar table; observation
-    tangents must be symbolic zeros (the s-optimizer's always are — s enters
-    only through the scalar table)."""
+    The custom JVP reruns the kernel on a paired scalar table when only the
+    scalar table is perturbed (the s-optimizer's case — s enters exclusively
+    through it); observation tangents fall back to the staged plane
+    pipeline, which supports JVPs w.r.t. every input."""
     L = -(-T // NC)
     kernel_p, n_scal, n_planes = _make_fused_kernel(D, O, L, T, paired=False)
     kernel_t, _, _ = _make_fused_kernel(D, O, L, T, paired=True)
@@ -423,10 +449,24 @@ def _fused_fn(D: int, O: int, T: int, interpret: bool):
         scal, y_planes = primals
         dscal, dy = tangents
         if not isinstance(dy, SymbolicZero):
-            raise NotImplementedError(
-                "fused NLL kernel: JVP w.r.t. observations is not supported "
-                "(use filter_nll_parallel_planes_batched); the s-optimizer "
-                "only perturbs the scalar table."
+            # observation tangents: the fused kernel has no paired-y variant,
+            # so differentiate the staged plane pipeline at the same point.
+            # The scalar table carries the raw model parameters verbatim, so
+            # primals and tangents both unpack exactly; values agree with the
+            # fused kernel at float tolerance.
+            from eks_tpu.ops.pkalman import _filter_nll_planes_batched_staged
+
+            ys = jnp.swapaxes(y_planes, 1, 2)
+            dys = jnp.swapaxes(dy, 1, 2)
+            params = _unpack_scalars(scal, D, O)
+            if isinstance(dscal, SymbolicZero):
+                dparams = tuple(jnp.zeros_like(p) for p in params)
+            else:
+                dparams = _unpack_scalars(dscal, D, O)
+            return jax.jvp(
+                _filter_nll_planes_batched_staged,
+                (ys, *params),
+                (dys, *dparams),
             )
         if isinstance(dscal, SymbolicZero):
             return f(scal, y_planes), jnp.zeros(scal.shape[:1], scal.dtype)

@@ -684,7 +684,6 @@ def filter_nll_parallel_planes_batched(
     T-sized ever touching HBM (ops/pallas_nll.py); the staged plane pipeline
     below remains the oracle and the fallback for D > 3 / O > 8.
     """
-    from eks_tpu.ops.pallas_filter import _scan_fn_batched, _use_pallas
     from eks_tpu.ops.pallas_nll import _use_fused_nll, filter_nll_fused_batched
 
     T = ys.shape[1]
@@ -694,6 +693,19 @@ def filter_nll_parallel_planes_batched(
             ys, m0, S0, A, Q, C, r,
             interpret=jax.default_backend() != "tpu",
         )
+    return _filter_nll_planes_batched_staged(ys, m0, S0, A, Q, C, r)
+
+
+def _filter_nll_planes_batched_staged(ys, m0, S0, A, Q, C, r):
+    """The staged (element table in HBM) lane-batched plane NLL — the
+    production fallback of :func:`filter_nll_parallel_planes_batched` for
+    O > 8 / over-VMEM-budget T, and the observation-tangent fallback of the
+    fused kernel's custom JVP (it supports JVPs w.r.t. every input,
+    including ``ys``)."""
+    from eks_tpu.ops.pallas_filter import _scan_fn_batched, _use_pallas
+
+    T = ys.shape[1]
+    D = m0.shape[1]
     rows = vmap(_plane_nll_pre)(ys, m0, S0, A, Q, C, r)  # (N, P, T)
     if _use_pallas(D):
         out = _scan_fn_batched(

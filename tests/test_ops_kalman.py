@@ -381,8 +381,13 @@ def test_plane_nll_batched_matches_single(rng, D, O):
     x = jnp.zeros(N).at[0].set(0.3).at[1].set(-0.2)
     tan = jnp.ones(N)
     h = 1e-3
+    # force_fused_nll(False) pins the STAGED lane-batched Pallas scan (the
+    # production fallback for O > 8 / over-budget T) — without it the fused
+    # single-kernel path would shadow the staged path's parity coverage here
+    from eks_tpu.ops.pallas_nll import force_fused_nll
+
     for pallas in (False, True):
-        with force_pallas_scan(pallas):
+        with force_pallas_scan(pallas), force_fused_nll(False):
             batched = np.asarray(
                 filter_nll_parallel_planes_batched(ys, m0, S0, A, Q, C, r)
             )
@@ -464,7 +469,11 @@ def test_plane_nll_batched_d3_value_parity(rng):
             for i in range(N)
         ]
     )
-    with force_pallas_scan(True):
+    from eks_tpu.ops.pallas_nll import force_fused_nll
+
+    # staged-pinned: keep direct parity coverage of the lane-batched Pallas
+    # filter scan (the fused kernel has its own suite in test_pallas_nll.py)
+    with force_pallas_scan(True), force_fused_nll(False):
         batched = np.asarray(
             filter_nll_parallel_planes_batched(ys, m0, S0, A, Q, C, r)
         )

@@ -92,7 +92,12 @@ def test_fused_nll_jvp_matches_sequential():
     np.testing.assert_allclose(float(gf), float(gs), rtol=2e-4)
 
 
-def test_fused_nll_jvp_rejects_observation_tangents():
+def test_fused_nll_jvp_observation_tangents_fall_back_to_staged():
+    """Observation tangents have no fused paired-y kernel; the custom JVP
+    must fall back to the staged plane pipeline (not raise), with the value
+    still coming out right and the tangent matching finite differences."""
+    from eks_tpu.ops.pkalman import _filter_nll_planes_batched_staged
+
     rng = np.random.default_rng(9)
     ys, m0, S0, A, Q, C, r = _problem(rng, 2, 140, 2, 2)
 
@@ -101,8 +106,45 @@ def test_fused_nll_jvp_rejects_observation_tangents():
             filter_nll_fused_batched(y, m0, S0, A, Q, C, r, interpret=True)
         )
 
-    with pytest.raises(NotImplementedError, match="observations"):
-        jax.jvp(loss, (ys,), (jnp.ones_like(ys),))
+    tan = jnp.asarray(np.random.default_rng(1).normal(size=ys.shape), ys.dtype)
+    val, grad = jax.jvp(loss, (ys,), (tan,))
+
+    def loss_staged(y):
+        return jnp.sum(_filter_nll_planes_batched_staged(y, m0, S0, A, Q, C, r))
+
+    val_ref, grad_ref = jax.jvp(loss_staged, (ys,), (tan,))
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=2e-5)
+    np.testing.assert_allclose(float(grad), float(grad_ref), rtol=2e-4)
+    h = 1e-2
+    fd = (float(loss(ys + h * tan)) - float(loss(ys - h * tan))) / (2 * h)
+    np.testing.assert_allclose(float(grad), fd, rtol=5e-2)
+
+
+def test_fused_nll_jvp_mixed_tangents_match_staged():
+    """Perturbing observations AND model parameters together must route the
+    whole JVP through the staged fallback consistently."""
+    from eks_tpu.ops.pkalman import _filter_nll_planes_batched_staged
+
+    rng = np.random.default_rng(13)
+    ys, m0, S0, A, Q, C, r = _problem(rng, 2, 130, 2, 2)
+
+    def loss(fn, y, s_log):
+        s = jnp.exp(s_log)
+        return jnp.sum(fn(y, m0, S0, A, s[:, None, None] * Q, C, r))
+
+    import functools
+
+    fused = functools.partial(filter_nll_fused_batched, interpret=True)
+    y_tan = jnp.asarray(np.random.default_rng(2).normal(size=ys.shape), ys.dtype)
+    s0 = jnp.zeros(2, dtype=ys.dtype)
+    s_tan = jnp.ones(2, dtype=ys.dtype)
+    val, grad = jax.jvp(lambda y, s: loss(fused, y, s), (ys, s0), (y_tan, s_tan))
+    val_ref, grad_ref = jax.jvp(
+        lambda y, s: loss(_filter_nll_planes_batched_staged, y, s),
+        (ys, s0), (y_tan, s_tan),
+    )
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=2e-5)
+    np.testing.assert_allclose(float(grad), float(grad_ref), rtol=2e-4)
 
 
 def test_dispatch_gating():
@@ -113,6 +155,9 @@ def test_dispatch_gating():
         assert _use_fused_nll(2, 2)
         assert not _use_fused_nll(4, 2)   # D cap
         assert not _use_fused_nll(3, 10)  # O cap
+        # an explicit force also wins over the VMEM-budget veto at large T
+        # (the direct call path clamps to the minimum tile)
+        assert _use_fused_nll(3, 8, T=4_000_000)
     with force_fused_nll(False):
         assert not _use_fused_nll(2, 2)
 
