@@ -7,6 +7,7 @@ from pathlib import Path
 
 from eks_tpu.cli._utils import (
     add_common_args,
+    add_devices,
     add_inflate_vars,
     add_n_latent,
     add_quantile_keep_pca,
@@ -27,6 +28,7 @@ def register(subparsers: argparse._SubParsersAction) -> None:
     add_quantile_keep_pca(parser)
     add_inflate_vars(parser)
     add_n_latent(parser)
+    add_devices(parser)
     parser.set_defaults(handler=cmd_ibl_paw)
 
 
@@ -48,6 +50,8 @@ def cmd_ibl_paw(args: argparse.Namespace) -> None:
         var_mode="var",
         inflate_vars=args.inflate_vars,
         n_latent=args.n_latent,
+        devices=args.devices,
+        partition=args.partition,
     )
 
     if args.make_plot:

@@ -8,6 +8,7 @@ from pathlib import Path
 from eks_tpu.cli._utils import (
     add_com_s,
     add_common_args,
+    add_devices,
     add_diameter_s,
     handle_io,
     plot_results,
@@ -23,6 +24,7 @@ def register(subparsers: argparse._SubParsersAction) -> None:
     add_common_args(parser)
     add_diameter_s(parser)
     add_com_s(parser)
+    add_devices(parser)
     parser.set_defaults(handler=cmd_ibl_pupil)
 
 
@@ -41,6 +43,8 @@ def cmd_ibl_pupil(args: argparse.Namespace) -> None:
         save_file=str(save_file),
         smooth_params=[args.diameter_s, args.com_s],
         s_frames=args.s_frames,
+        devices=args.devices,
+        partition=args.partition,
     )
 
     if args.make_plot:

@@ -9,6 +9,7 @@ from eks_tpu.cli._utils import (
     add_bodyparts,
     add_camera_names,
     add_common_args,
+    add_devices,
     add_inflate_vars,
     add_n_latent,
     add_quantile_keep_pca,
@@ -31,6 +32,7 @@ def register(subparsers: argparse._SubParsersAction) -> None:
     add_quantile_keep_pca(parser)
     add_inflate_vars(parser)
     add_n_latent(parser)
+    add_devices(parser)
     parser.set_defaults(handler=cmd_mirrored_multicam)
 
 
@@ -54,6 +56,8 @@ def cmd_mirrored_multicam(args: argparse.Namespace) -> None:
         quantile_keep_pca=args.quantile_keep_pca,
         inflate_vars=args.inflate_vars,
         n_latent=args.n_latent,
+        devices=args.devices,
+        partition=args.partition,
     )
 
     if args.make_plot:

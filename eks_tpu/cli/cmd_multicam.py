@@ -11,6 +11,7 @@ from eks_tpu.cli._utils import (
     add_calibration,
     add_camera_names,
     add_common_args,
+    add_devices,
     add_inflate_vars,
     add_n_latent,
     add_quantile_keep_pca,
@@ -36,6 +37,7 @@ def register(subparsers: argparse._SubParsersAction) -> None:
     add_inflate_vars(parser)
     add_n_latent(parser)
     add_calibration(parser)
+    add_devices(parser)
     parser.set_defaults(handler=cmd_multicam)
 
 
@@ -67,6 +69,8 @@ def cmd_multicam(args: argparse.Namespace) -> None:
         inflate_vars=args.inflate_vars,
         n_latent=args.n_latent,
         calibration=args.calibration,
+        devices=args.devices,
+        partition=args.partition,
     )
 
     if args.make_plot:

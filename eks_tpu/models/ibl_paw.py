@@ -65,11 +65,15 @@ def fit_eks_multicam_ibl_paw(
     img_width: int = 128,
     inflate_vars: bool = False,
     n_latent: int = 3,
+    devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple:
     """Align the asynchronous left/right paw cameras and smooth jointly.
 
     Expects ``input_source`` to contain per-seed prediction CSVs with 'left'
     or 'right' in the filename plus two ``*timestamps*`` ``.npy`` arrays.
+    ``devices``/``partition`` shard the smoothing step over a 1-D device
+    mesh (see :func:`eks_tpu.models.multicam.fit_eks_multicam`).
 
     Returns:
         (camera_dfs, s_finals, input_dfs_list, bodypart_list)
@@ -166,6 +170,8 @@ def fit_eks_multicam_ibl_paw(
         inflate_vars=inflate_vars,
         n_latent=n_latent,
         inflate_vars_kwargs={"likelihoods": None},
+        devices=devices,
+        partition=partition,
     )
 
     os.makedirs(save_dir, exist_ok=True)

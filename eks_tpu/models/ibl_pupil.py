@@ -139,8 +139,17 @@ def fit_eks_pupil(
     s_frames: list | None = None,
     avg_mode: Literal["mean", "median"] = "median",
     var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple:
     """Load ensemble CSVs and run the pupil smoother.
+
+    ``devices`` > 1 shards the optimizer + smoother over a 1-D device mesh.
+    The pupil model is ONE joint 8-observation sequence (no independent
+    keypoint lanes), so its only shardable axis is time: any ``devices``
+    request runs sequence parallelism over the frame axis regardless of
+    ``partition`` (accepted for interface uniformity with the other
+    families).
 
     Returns:
         (df_smoothed, smooth_params_final, input_dfs_list, bodypart_list)
@@ -156,6 +165,8 @@ def fit_eks_pupil(
         s_frames=s_frames,
         avg_mode=avg_mode,
         var_mode=var_mode,
+        devices=devices,
+        partition=partition,
     )
 
     save_dir = os.path.dirname(save_file)
@@ -173,8 +184,12 @@ def ensemble_kalman_smoother_ibl_pupil(
     s_frames: list | None = None,
     avg_mode: Literal["mean", "median"] = "median",
     var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple:
-    """Array-level pupil smoother; returns (markers_df, [s_diam, s_com])."""
+    """Array-level pupil smoother; returns (markers_df, [s_diam, s_com]).
+    ``devices`` > 1 shards the frame axis over a 1-D mesh (the pupil model's
+    only shardable axis — see :func:`fit_eks_pupil`)."""
     _, _, n_frames, n_keypoints, _ = marker_array.shape
     keys = [f"{kp}_{coord}" for kp in keypoint_names for coord in ["x", "y"]]
 
@@ -212,6 +227,7 @@ def ensemble_kalman_smoother_ibl_pupil(
         y_var=float(np.var(y_t_obs)),
         s_frames=s_frames,
         smooth_params=smooth_params,
+        devices=devices,
     )
     logger.debug(f"tuned pupil params: diameter_s={s_finals[0]}, com_s={s_finals[1]}")
 
@@ -351,9 +367,15 @@ def pupil_optimize_smooth(
     lr: float = 5e-3,
     tol: float = 1e-6,
     safety_cap: int = 5000,
+    devices: int | None = None,
 ) -> tuple[float, float]:
     """Tune ``[s_diam, s_com]`` by filter NLL on (optionally cropped) frames,
-    in sigmoid-unconstrained space starting from [0.99, 0.98]."""
+    in sigmoid-unconstrained space starting from [0.99, 0.98].
+
+    ``devices`` > 1 shards the loss frames' time axis over a 1-D mesh: the
+    SPMD partitioner splits the parallel-prefix filter scans across devices
+    (collectives carry the cross-chunk combines) while the Adam carry stays
+    replicated."""
     if smooth_params is not None and all(v is not None for v in smooth_params):
         s = np.clip(np.asarray(smooth_params, dtype=np.float32), 1e-3, 1 - 1e-3)
         return float(s[0]), float(s[1])
@@ -369,6 +391,38 @@ def pupil_optimize_smooth(
     # f64 host-side; canonicalization downcasts to f32 unless enable_x64
     s0 = np.array([0.99, 0.98], dtype=np.float64)
     u0 = np.log(s0 / (1.0 - s0))
+
+    if devices is not None and devices > 1:
+        from eks_tpu.parallel.mesh import (
+            _replicate,
+            make_mesh,
+            mesh_dispatch,
+            shard_time,
+        )
+
+        mesh = make_mesh(devices, axis_name="t")
+        y_s, r_s = shard_time(mesh, [y_loss, r_loss], [0, 0], axis_name="t")
+        rep = lambda a: _replicate(mesh, a)
+        # pallas=False: a fused single-device kernel cannot span the sharded
+        # scan axis; plane=False: the XLA associative scan of the generic
+        # AoS loss partitions cleanly, while the plane graph is pathological
+        # off-TPU and a Pallas plane kernel cannot span the shards either
+        with mesh_dispatch(mesh, pallas=False):
+            s_opt, last_loss, iters = _pupil_optimize_jit(
+                y_s, r_s, rep(m0), rep(S0), rep(C), rep(u0),
+                diameters_var=rep(diameters_var),
+                x_var=rep(x_var),
+                y_var=rep(y_var),
+                lr=float(lr), tol=float(tol), safety_cap=int(safety_cap),
+                plane=False,
+            )
+        s_opt = np.asarray(jax.device_get(s_opt))
+        logger.debug(
+            f"[pupil] iters={int(iters)}  s_diam={float(s_opt[0]):.6f}  "
+            f"s_com={float(s_opt[1]):.6f}  NLL={float(last_loss):.6f}"
+        )
+        return float(s_opt[0]), float(s_opt[1])
+
     s_opt, last_loss, iters = _pupil_optimize_jit(
         jnp.asarray(y_loss), jnp.asarray(r_loss),
         jnp.asarray(m0), jnp.asarray(S0), jnp.asarray(C), jnp.asarray(u0),
@@ -406,17 +460,43 @@ def run_pupil_kalman_smoother(
     tol: float = 1e-6,
     safety_cap: int = 5000,
     sequential: bool = False,
+    devices: int | None = None,
 ) -> tuple[list[float], np.ndarray, np.ndarray]:
     """Optimize [s_diam, s_com], then smooth the full sequence with
-    time-varying R. Returns ([s_diam, s_com], ms (T,3), Vs (T,3,3))."""
+    time-varying R. Returns ([s_diam, s_com], ms (T,3), Vs (T,3,3)).
+    ``devices`` > 1 shards the frame axis of both stages over a 1-D mesh."""
     s_d, s_c = pupil_optimize_smooth(
         ys=ys, m0=m0, S0=S0, C=C, ensemble_vars=ensemble_vars,
         diameters_var=diameters_var, x_var=x_var, y_var=y_var,
         s_frames=s_frames, smooth_params=smooth_params,
-        lr=lr, tol=tol, safety_cap=safety_cap,
+        lr=lr, tol=tol, safety_cap=safety_cap, devices=devices,
     )
 
-    r = jnp.asarray(np.clip(np.asarray(ensemble_vars), 1e-12, None))
+    r_np = np.clip(np.asarray(ensemble_vars), 1e-12, None)
+    if devices is not None and devices > 1:
+        from eks_tpu.parallel.mesh import (
+            _replicate,
+            make_mesh,
+            mesh_dispatch,
+            shard_time,
+        )
+
+        mesh = make_mesh(devices, axis_name="t")
+        ys_s, r_s = shard_time(
+            mesh, [np.asarray(ys), r_np], [0, 0], axis_name="t"
+        )
+        rep = lambda a: _replicate(mesh, np.asarray(a))
+        with mesh_dispatch(mesh, pallas=False):
+            ms, Vs = _pupil_smooth_jit(
+                ys_s, rep(m0), rep(S0), rep(C), r_s,
+                rep(s_d), rep(s_c),
+                rep(diameters_var), rep(x_var), rep(y_var),
+                sequential=sequential,
+            )
+        ms, Vs = jax.device_get((ms, Vs))
+        return [float(s_d), float(s_c)], ms, Vs
+
+    r = jnp.asarray(r_np)
     ms, Vs = _pupil_smooth_jit(
         jnp.asarray(ys), m0, S0, C, r,
         jnp.asarray(s_d), jnp.asarray(s_c),

@@ -101,11 +101,15 @@ def fit_eks_mirrored_multicam(
     var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
     inflate_vars: bool = False,
     n_latent: int = 3,
+    devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple:
     """Mirrored multi-camera fit: one CSV per seed holds all views as
     ``{kp}_{camera}`` columns; views are split out, smoothed jointly, and the
     per-camera outputs merged back into a single CSV
-    (reference: eks/multicam_smoother.py:37-153).
+    (reference: eks/multicam_smoother.py:37-153). ``devices``/``partition``
+    shard the smoothing step over a 1-D device mesh (see
+    :func:`fit_eks_multicam`).
     """
     input_dfs_list, keypoint_names = format_data(input_source)
     if bodypart_list is None:
@@ -145,6 +149,8 @@ def fit_eks_mirrored_multicam(
         var_mode=var_mode,
         inflate_vars=inflate_vars,
         n_latent=n_latent,
+        devices=devices,
+        partition=partition,
     )
 
     # merge per-camera frames back into one mirrored CSV
@@ -183,12 +189,19 @@ def fit_eks_multicam(
     n_latent: int = 3,
     calibration: str | None = None,
     save_3d_outputs: bool = True,
+    devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple:
     """Un-mirrored multi-camera fit: one CSV per (camera, seed).
 
     With ``calibration`` (Anipose TOML), the nonlinear calibrated-projection
     path is used and camera names come from the file
     (reference: eks/multicam_smoother.py:156-276).
+
+    ``devices`` > 1 shards the smoothing step over a 1-D device mesh along
+    ``partition`` ("keypoint" = data parallelism over independent lanes,
+    "time" = sequence parallelism over the frame axis); applies to the
+    linear AND calibrated (nonlinear EKF) paths.
 
     Returns:
         (camera_dfs, s_finals, input_dfs_list, bodypart_list, df_3d)
@@ -230,6 +243,8 @@ def fit_eks_multicam(
         inflate_vars=inflate_vars,
         n_latent=n_latent,
         camgroup=camgroup,
+        devices=devices,
+        partition=partition,
     )
 
     os.makedirs(save_dir, exist_ok=True)
@@ -259,8 +274,15 @@ def ensemble_kalman_smoother_multicam(
     pca_object: Optional[PCA] = None,
     n_latent: int = 3,
     camgroup: Optional[CameraGroup] = None,
+    devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple:
     """Multi-view smoother over a (M, C, T, K, 3) MarkerArray.
+
+    ``devices`` > 1 shards the smoothing step (optimizer + final pass) over
+    a 1-D device mesh on the ``partition`` axis; prep and packaging stay on
+    the host in that case so operands upload exactly once, sharded straight
+    onto the mesh devices.
 
     Returns:
         (camera_dfs, s_finals, df_3d)
@@ -287,6 +309,7 @@ def ensemble_kalman_smoother_multicam(
             marker_array, keypoint_names, smooth_param=smooth_param,
             quantile_keep_pca=quantile_keep_pca, avg_mode=avg_mode,
             var_mode=var_mode, n_latent=n_latent, total_t0=_t0_total,
+            devices=devices, partition=partition,
         )
 
     # same idea for the calibrated family: undistort + DLT + geometric init
@@ -297,6 +320,7 @@ def ensemble_kalman_smoother_multicam(
         return _smoother_multicam_nonlinear_fused(
             marker_array, keypoint_names, camgroup, smooth_param=smooth_param,
             avg_mode=avg_mode, var_mode=var_mode, total_t0=_t0_total,
+            devices=devices, partition=partition,
         )
 
     # ensemble + centering
@@ -375,6 +399,8 @@ def ensemble_kalman_smoother_multicam(
         s_frames=s_frames,
         smooth_param=smooth_param,
         h_fn=h_fn,
+        devices=devices,
+        partition=partition,
     )
     logger.debug(f"[timing] run_kalman_smoother: {time.perf_counter() - _t0:.3f}s")
     # one batched pull of the device-resident results (packaging below mixes
@@ -685,15 +711,23 @@ def _package_3d(ms, Vs):
 def _smoother_multicam_linear_fused(
     marker_array, keypoint_names, smooth_param, quantile_keep_pca,
     avg_mode, var_mode, n_latent, total_t0,
+    devices=None, partition="keypoint",
 ):
     """Linear multicam smoother with fused prep and packaging. The prep
     program runs on the host CPU backend by default (transfer-lean: only the
     observations + variances the accelerator consumes are uploaded, and the
     ensemble-stat columns never round-trip — same rationale as the singlecam
     ``prep='host'`` path). Output contract identical to the general path
-    (same columns, quirks)."""
+    (same columns, quirks).
+
+    With ``devices`` > 1 the smoothing step shards over a 1-D mesh: operands
+    stay host-side here (the core pads and device-puts them straight onto
+    the mesh devices, never through the ambient default backend) and the
+    packaging runs on the host CPU backend from one batched pull of the
+    mesh-sharded moments."""
     M, V, T, K, _ = marker_array.shape
     arr = np.asarray(marker_array.array)  # (M, C, T, K, 3)
+    mesh_run = devices is not None and devices > 1
 
     _t0 = time.perf_counter()
     with jax.default_device(jax.devices("cpu")[0]):
@@ -705,33 +739,57 @@ def _smoother_multicam_linear_fused(
         stats_np, ys_np, evars_np, m0s_np, S0s_np, As_np, Qs_np, Cs_np,
         means_np,
     ) = jax.device_get(prep_out)
-    # exactly two big uploads feed the device pipeline; stats stay on host
-    ys = jnp.asarray(ys_np)
-    evars = jnp.asarray(evars_np)
-    m0s, S0s, As, Qs, Cs, means = map(
-        jnp.asarray, (m0s_np, S0s_np, As_np, Qs_np, Cs_np, means_np)
-    )
+    if mesh_run:
+        # mesh path: keep host arrays — run_kalman_smoother shards them onto
+        # the mesh devices directly
+        ys, evars = ys_np, evars_np
+        m0s, S0s, As, Qs, Cs = m0s_np, S0s_np, As_np, Qs_np, Cs_np
+        means = means_np
+    else:
+        # exactly two big uploads feed the device pipeline; stats stay on host
+        ys = jnp.asarray(ys_np)
+        evars = jnp.asarray(evars_np)
+        m0s, S0s, As, Qs, Cs, means = map(
+            jnp.asarray, (m0s_np, S0s_np, As_np, Qs_np, Cs_np, means_np)
+        )
     logger.debug(f"[timing] host prep: {time.perf_counter() - _t0:.3f}s")
 
     _t0 = time.perf_counter()
     s_finals, ms, Vs = run_kalman_smoother(
         ys=ys,
         m0s=m0s, S0s=S0s, As=As, Qs=Qs, Cs=Cs,
-        ensemble_vars=jnp.swapaxes(evars, 0, 1),  # (T, K, 2C), device
+        ensemble_vars=np.swapaxes(evars, 0, 1) if mesh_run
+        else jnp.swapaxes(evars, 0, 1),  # (T, K, 2C)
         smooth_param=smooth_param,
+        devices=devices,
+        partition=partition,
     )
     logger.debug(f"[timing] run_kalman_smoother: {time.perf_counter() - _t0:.3f}s")
 
     _t0 = time.perf_counter()
-    sm4 = _package_multicam_smoothed(means, Cs, ms, Vs, evars)
-    arr_3d = (
-        _package_3d(ms, Vs)
-        if n_latent == 3
-        else jnp.zeros((T, K * 6), dtype=sm4.dtype)
-    )
-    # ONE batched pull of the smoother-dependent blocks; the ensemble stats
-    # never left the host
-    sm4_np, arr_3d_np = jax.device_get((sm4, arr_3d))
+    if mesh_run:
+        # one batched pull of the mesh-sharded moments; packaging runs on the
+        # host CPU backend (mixing mesh-committed and default-device arrays
+        # in one jit is not legal)
+        ms_np, Vs_np = jax.device_get((ms, Vs))
+        with jax.default_device(jax.devices("cpu")[0]):
+            sm4 = _package_multicam_smoothed(means, Cs, ms_np, Vs_np, evars)
+            arr_3d = (
+                _package_3d(ms_np, Vs_np)
+                if n_latent == 3
+                else jnp.zeros((T, K * 6), dtype=sm4.dtype)
+            )
+        sm4_np, arr_3d_np = np.asarray(sm4), np.asarray(arr_3d)
+    else:
+        sm4 = _package_multicam_smoothed(means, Cs, ms, Vs, evars)
+        arr_3d = (
+            _package_3d(ms, Vs)
+            if n_latent == 3
+            else jnp.zeros((T, K * 6), dtype=sm4.dtype)
+        )
+        # ONE batched pull of the smoother-dependent blocks; the ensemble
+        # stats never left the host
+        sm4_np, arr_3d_np = jax.device_get((sm4, arr_3d))
 
     camera_dfs = _assemble_camera_dfs(sm4_np, stats_np, keypoint_names)
     labels_3d = ["x", "y", "z", "x_posterior_var", "y_posterior_var", "z_posterior_var"]
@@ -861,40 +919,60 @@ def _package_multicam_nonlinear(ms, Vs, evars, Ks, dists, extr):
 def _smoother_multicam_nonlinear_fused(
     marker_array, keypoint_names, camgroup, smooth_param,
     avg_mode, var_mode, total_t0,
+    devices=None, partition="keypoint",
 ):
     """Calibrated multicam smoother with device-resident prep and packaging.
     Output contract identical to the general nonlinear path (same columns,
-    same cam-0 variance quirk); only the staging differs."""
+    same cam-0 variance quirk); only the staging differs.
+
+    With ``devices`` > 1 the nonlinear-EKF smoothing step shards over a 1-D
+    mesh (the iterated parallel EKF runs per-lane under shard_map with the
+    projection h_fn closed over); prep and the reprojection epilogue run on
+    the host CPU backend so operands ship straight onto the mesh devices."""
     M, V, T, K, _ = marker_array.shape
     arr = np.asarray(marker_array.array)  # (M, C, T, K, 3)
+    mesh_run = devices is not None and devices > 1
     Ks_np, dists_np, extr_np = stack_camera_params(camgroup)
-    Ks_j = jnp.asarray(Ks_np)
-    dists_j = jnp.asarray(dists_np)
-    extr_j = jnp.asarray(extr_np)
 
     _t0 = time.perf_counter()
-    ys, evars, m0s, S0s, As, Qs, Cs = _prep_multicam_nonlinear(
-        jnp.asarray(arr[..., 0]),
-        jnp.asarray(arr[..., 1]),
-        jnp.asarray(arr[..., 2]),
-        M, avg_mode, var_mode, Ks_j, dists_j, extr_j,
-    )
-    logger.debug(f"[timing] fused device prep (nonlinear): {time.perf_counter() - _t0:.3f}s")
+    if mesh_run:
+        # host prep: the mesh path shards host arrays straight onto its
+        # devices; an eager upload here would commit them to the ambient
+        # default backend instead
+        with jax.default_device(jax.devices("cpu")[0]):
+            prep_out = _prep_multicam_nonlinear(
+                arr[..., 0], arr[..., 1], arr[..., 2],
+                M, avg_mode, var_mode,
+                Ks_np, dists_np, extr_np,
+            )
+        ys, evars, m0s, S0s, As, Qs, Cs = jax.device_get(prep_out)
+    else:
+        Ks_j = jnp.asarray(Ks_np)
+        dists_j = jnp.asarray(dists_np)
+        extr_j = jnp.asarray(extr_np)
+        ys, evars, m0s, S0s, As, Qs, Cs = _prep_multicam_nonlinear(
+            jnp.asarray(arr[..., 0]),
+            jnp.asarray(arr[..., 1]),
+            jnp.asarray(arr[..., 2]),
+            M, avg_mode, var_mode, Ks_j, dists_j, extr_j,
+        )
+    logger.debug(f"[timing] fused prep (nonlinear): {time.perf_counter() - _t0:.3f}s")
 
     h_fn, _ = make_projection_from_camgroup(camgroup)
     _t0 = time.perf_counter()
     s_finals, ms, Vs = run_kalman_smoother(
         ys=ys,
         m0s=m0s, S0s=S0s, As=As, Qs=Qs, Cs=Cs,
-        ensemble_vars=jnp.swapaxes(evars, 0, 1),  # (T, K, 2C), device
+        ensemble_vars=np.swapaxes(evars, 0, 1) if mesh_run
+        else jnp.swapaxes(evars, 0, 1),  # (T, K, 2C)
         smooth_param=smooth_param,
         h_fn=h_fn,
+        devices=devices,
+        partition=partition,
     )
     logger.debug(f"[timing] run_kalman_smoother: {time.perf_counter() - _t0:.3f}s")
 
     _t0 = time.perf_counter()
-    sm4 = _package_multicam_nonlinear(ms, Vs, evars, Ks_j, dists_j, extr_j)
-    arr_3d = _package_3d(ms, Vs)
     # the ensemble-stat output columns are recomputed on the host CPU
     # backend from the raw planes (already host-resident) while the device
     # finishes smoothing + reprojection — the (C, T, K, 5) stats block then
@@ -906,7 +984,18 @@ def _smoother_multicam_nonlinear_fused(
             1000.0,
         )
     stats_np = np.asarray(stats_host)
-    sm4_np, arr_3d_np = jax.device_get((sm4, arr_3d))
+    if mesh_run:
+        ms_np, Vs_np = jax.device_get((ms, Vs))
+        with jax.default_device(jax.devices("cpu")[0]):
+            sm4 = _package_multicam_nonlinear(
+                ms_np, Vs_np, evars, Ks_np, dists_np, extr_np
+            )
+            arr_3d = _package_3d(ms_np, Vs_np)
+        sm4_np, arr_3d_np = np.asarray(sm4), np.asarray(arr_3d)
+    else:
+        sm4 = _package_multicam_nonlinear(ms, Vs, evars, Ks_j, dists_j, extr_j)
+        arr_3d = _package_3d(ms, Vs)
+        sm4_np, arr_3d_np = jax.device_get((sm4, arr_3d))
 
     camera_dfs = _assemble_camera_dfs(sm4_np, stats_np, keypoint_names)
     labels_3d = ["x", "y", "z", "x_posterior_var", "y_posterior_var", "z_posterior_var"]

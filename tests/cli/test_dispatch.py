@@ -72,12 +72,16 @@ def test_cmd_multicam_forwards_args(tmp_path):
             "--n-latent", "2",
             "--no-inflate-vars",
             "--s", "3.0",
+            "--devices", "4",
+            "--partition", "time",
         ])
     assert seen["camera_names"] == ["top", "bot"]
     assert seen["quantile_keep_pca"] == 80
     assert seen["n_latent"] == 2
     assert seen["inflate_vars"] is False
     assert seen["smooth_param"] == [3.0]
+    assert seen["devices"] == 4
+    assert seen["partition"] == "time"
     assert seen["calibration"] is None
 
 
@@ -115,12 +119,15 @@ def test_cmd_mirrored_multicam_forwards_args(tmp_path):
             "--camera-names", "top", "bot",
             "--quantile-keep-pca", "60",
             "--n-latent", "3",
+            "--devices", "2",
         ])
     assert seen["camera_names"] == ["top", "bot"]
     assert seen["quantile_keep_pca"] == 60
     assert seen["n_latent"] == 3
     assert seen["inflate_vars"] is True  # default on
     assert seen["save_file"] == str(tmp_path / "eks_mirrored_multicam.csv")
+    assert seen["devices"] == 2
+    assert seen["partition"] == "keypoint"  # default
 
 
 def test_cmd_ibl_pupil_forwards_args(tmp_path):
@@ -135,10 +142,12 @@ def test_cmd_ibl_pupil_forwards_args(tmp_path):
             "--diameter-s", "0.99",
             "--com-s", "0.98",
             "--s-frames", "100",
+            "--devices", "8",
         ])
     assert seen["smooth_params"] == [0.99, 0.98]
     assert seen["s_frames"] == [(1, 100)]
     assert seen["save_file"] == str(tmp_path / "eks_ibl_pupil.csv")
+    assert seen["devices"] == 8
 
 
 def test_cmd_ibl_paw_forwards_args(tmp_path):
@@ -154,8 +163,10 @@ def test_cmd_ibl_paw_forwards_args(tmp_path):
             "--s", "4.0",
             "--quantile-keep-pca", "70",
             "--no-inflate-vars",
+            "--devices", "4",
         ])
     assert seen["smooth_param"] == [4.0]
     assert seen["quantile_keep_pca"] == 70
     assert seen["inflate_vars"] is False
     assert seen["var_mode"] == "var"  # paw family pins plain variance
+    assert seen["devices"] == 4
