@@ -11,9 +11,10 @@ import pytest
 
 from tests.integration.conftest import DATA
 
-pytestmark = pytest.mark.skipif(
+# slow tier: full-length end-to-end runs (inner gate: -m 'not slow')
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(DATA), reason="bundled example data missing"
-)
+)]
 
 
 def test_singlecam_fixed_s(tmp_path, golden):

@@ -12,9 +12,10 @@ import pytest
 
 REF = "/root/reference/data"
 
-pytestmark = pytest.mark.skipif(
+# slow tier: full-length end-to-end runs (inner gate: -m 'not slow')
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference data missing"
-)
+)]
 
 
 def test_ref_singlecam_fixed_s(tmp_path, golden):

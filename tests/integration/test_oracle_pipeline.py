@@ -24,9 +24,10 @@ import jax.numpy as jnp
 from tests.conftest import REFERENCE_DATA, reference_data_available
 from tests.test_ops_kalman import oracle_filter_smoother
 
-pytestmark = pytest.mark.skipif(
+# slow tier: full-length end-to-end runs (inner gate: -m 'not slow')
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_data_available(), reason="reference data missing"
-)
+)]
 
 T_SESSION = 400  # truncated session length (oracle filter is a python loop)
 
