@@ -149,7 +149,11 @@ def _plu_factor(A: np.ndarray) -> np.ndarray:
     else fall back to Doolittle elimination with the same pivoting rule.
     """
     if _scipy_lu is not None:
-        return _scipy_lu(np.asarray(A, dtype=np.float64), permute_l=True)[0]
+        # check_finite=False skips an O(N·K) validation pass per call (the EM
+        # loop calls this 6x per iteration); identical bits either way
+        return _scipy_lu(
+            np.asarray(A, dtype=np.float64), permute_l=True, check_finite=False
+        )[0]
     A = np.array(A, dtype=np.float64)
     m, n = A.shape
     k = min(m, n)
@@ -365,32 +369,87 @@ def compute_mahalanobis(
         mu_x = np.asarray(mean, dtype=np.float64)
 
     inv_v = 1.0 / (v + epsilon)  # (N, 2C)
+    N, F = x.shape
+    L = W.shape[1]
 
-    # posterior latent covariance per row: B = (Wᵀ D⁻¹ W)⁻¹, all rows at once
-    WtDW = np.einsum("fl,nf,fm->nlm", W, inv_v, W)  # (N, L, L)
-    B = np.linalg.inv(WtDW)
+    # The screening runs every round of the variance-inflation fixed point
+    # (models/multicam.py::mA_compute_maha); f64 c_einsum over (N, L, L) and
+    # batched np.linalg.inv on tiny matrices dominated the whole inflation
+    # pass, so the row-wise algebra is restructured as flat GEMMs plus
+    # closed-form 2x2/3x3 inverses (same math, BLAS-speed).
+
+    # posterior latent covariance per row: B = (Wᵀ D⁻¹ W)⁻¹, all rows at once.
+    # WtDW[n] = Σ_f inv_v[n, f] · outer(W[f], W[f]) -> one (N, F)x(F, L²) GEMM
+    G = (W[:, :, None] * W[:, None, :]).reshape(F, L * L)
+    WtDW = (inv_v @ G).reshape(N, L, L)
+    B = _inv_batched_small(WtDW)
 
     # posterior latent mean: ẑ = B Wᵀ D⁻¹ (x − μ)
-    rhs = np.einsum("fl,nf,nf->nl", W, inv_v, x - mu_x)  # (N, L)
-    z_hat = np.einsum("nlm,nm->nl", B, rhs)
+    rhs = (inv_v * (x - mu_x)) @ W  # (N, L)
+    z_hat = np.matmul(B, rhs[:, :, None])[:, :, 0]
 
     xhat = z_hat @ W.T + mu_x
     diff = x - xhat
 
     num_views = x.shape[1] // 2
+    B_flat = B.reshape(N, L * L)
     Q: dict[int, np.ndarray] = {}
     M: dict[int, np.ndarray] = {}
     for view in range(num_views):
         sl = slice(2 * view, 2 * (view + 1))
         Wv = W[sl]  # (2, L)
-        # Q_view = diag(v_view) + Wv B Wvᵀ, per row
-        WBW = np.einsum("il,nlm,jm->nij", Wv, B, Wv)  # (N, 2, 2)
-        Qv = WBW.copy()
+        # Q_view = diag(v_view) + Wv B Wvᵀ per row: WBW[n, ij] =
+        # Σ_lm B[n, lm] · Wv[i, l] Wv[j, m] -> one (N, L²)x(L², 4) GEMM
+        Gv = (Wv[:, None, :, None] * Wv[None, :, None, :]).reshape(4, L * L)
+        Qv = (B_flat @ Gv.T).reshape(N, 2, 2)
         Qv[:, 0, 0] += v[:, sl][:, 0]
         Qv[:, 1, 1] += v[:, sl][:, 1]
         d = diff[:, sl]  # (N, 2)
-        Mv = np.einsum("ni,nij,nj->n", d, np.linalg.inv(Qv), d)
+        # d Qv⁻¹ d via the closed-form 2x2 inverse
+        det = Qv[:, 0, 0] * Qv[:, 1, 1] - Qv[:, 0, 1] * Qv[:, 1, 0]
+        Mv = (
+            d[:, 0] ** 2 * Qv[:, 1, 1]
+            - d[:, 0] * d[:, 1] * (Qv[:, 0, 1] + Qv[:, 1, 0])
+            + d[:, 1] ** 2 * Qv[:, 0, 0]
+        ) / det
         Q[view] = Qv
         M[view] = Mv[:, None]
 
     return {"mahalanobis": M, "posterior_variance": Q, "reconstructed": xhat}
+
+
+def _inv_batched_small(A: np.ndarray) -> np.ndarray:
+    """Batched inverse of (N, L, L) matrices: closed-form adjugate for
+    L <= 3 (batched LAPACK getri via np.linalg.inv loops per matrix and is
+    ~40x slower at these sizes), np.linalg.inv beyond."""
+    L = A.shape[-1]
+    if L == 1:
+        return 1.0 / A
+    if L == 2:
+        det = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+        out = np.empty_like(A)
+        out[:, 0, 0] = A[:, 1, 1]
+        out[:, 1, 1] = A[:, 0, 0]
+        out[:, 0, 1] = -A[:, 0, 1]
+        out[:, 1, 0] = -A[:, 1, 0]
+        return out / det[:, None, None]
+    if L == 3:
+        a, b, c = A[:, 0, 0], A[:, 0, 1], A[:, 0, 2]
+        d, e, f = A[:, 1, 0], A[:, 1, 1], A[:, 1, 2]
+        g, h, i = A[:, 2, 0], A[:, 2, 1], A[:, 2, 2]
+        co00 = e * i - f * h
+        co01 = f * g - d * i
+        co02 = d * h - e * g
+        det = a * co00 + b * co01 + c * co02
+        out = np.empty_like(A)
+        out[:, 0, 0] = co00
+        out[:, 0, 1] = c * h - b * i
+        out[:, 0, 2] = b * f - c * e
+        out[:, 1, 0] = co01
+        out[:, 1, 1] = a * i - c * g
+        out[:, 1, 2] = c * d - a * f
+        out[:, 2, 0] = co02
+        out[:, 2, 1] = b * g - a * h
+        out[:, 2, 2] = a * e - b * d
+        return out / det[:, None, None]
+    return np.linalg.inv(A)
