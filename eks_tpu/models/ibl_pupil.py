@@ -193,7 +193,11 @@ def ensemble_kalman_smoother_ibl_pupil(
     _, _, n_frames, n_keypoints, _ = marker_array.shape
     keys = [f"{kp}_{coord}" for kp in keypoint_names for coord in ["x", "y"]]
 
-    emA = ensemble(marker_array, avg_mode=avg_mode, var_mode=var_mode)
+    # host-backend ensemble: every consumer below is host-side (diameter/COM
+    # medians, centering), so a device round-trip of the raw planes + stats
+    # would be pure transfer cost on a remote-attached accelerator
+    with jax.default_device(jax.devices("cpu")[0]):
+        emA = ensemble(marker_array, avg_mode=avg_mode, var_mode=var_mode)
     ensemble_preds = emA.slice_fields("x", "y").array[0, 0].reshape(n_frames, -1)
     ensemble_vars = emA.slice_fields("var_x", "var_y").array[0, 0].reshape(n_frames, -1)
     ensemble_likes = emA.slice_fields("likelihood").array[0, 0, :, :, 0]  # (T, K)
@@ -292,13 +296,14 @@ def _pupil_model(s_d, s_c, diameters_var, x_var, y_var):
     return A, Q
 
 
-@partial(jax.jit, static_argnames=("lr", "tol", "safety_cap", "plane"))
+@partial(jax.jit, static_argnames=("lr", "tol", "safety_cap", "plane", "fused"))
 @highest_precision
 def _pupil_optimize_jit(
     y_loss, r_loss, m0, S0, C, u0,
     diameters_var, x_var, y_var,
     lr: float, tol: float, safety_cap: int,
     plane: bool = False,  # resolved by the caller: True on TPU
+    fused: bool = False,  # fused TV Pallas kernel (resolved by the caller)
 ):
     # NOTE: the per-session variance scales are traced (NOT static) so a new
     # dataset does not recompile this program
@@ -311,8 +316,8 @@ def _pupil_optimize_jit(
         s = to_s(u)
         A, Q = _pupil_model(s[0], s[1], diameters_var, x_var, y_var)
         if plane:
-            # TPU hot loop: plane-native information-form loss, no (T, O, O)
-            # innovation tensors (kept off XLA:CPU — see core.force_plane_opt)
+            # plane-native information-form loss, no (T, O, O) innovation
+            # tensors (kept off XLA:CPU — see core.force_plane_opt)
             v = -filter_nll_parallel_planes_tv(y_loss, m0, S0, A, Q, C, r_loss)
         else:
             res = kalman_filter_parallel(y_loss, m0, S0, A, Q, C, r_loss)
@@ -321,9 +326,38 @@ def _pupil_optimize_jit(
 
     # two parameters -> forward-mode gradient (2 jvp lanes) instead of one
     # reverse sweep with full residual storage through the prefix scan; the
-    # two directional derivatives run as ONE vmapped evaluation (parallel
-    # lanes on device) rather than two serialized filter passes
+    # two directional derivatives run as ONE evaluation (parallel lanes on
+    # device) rather than two serialized filter passes
+    def loss_and_grad_fused(u):
+        # TPU hot loop: ONE paired fused-kernel call evaluates both
+        # directional derivatives — the problem is replicated onto 2 kernel
+        # lanes and jvp'd with per-lane unit tangents (the kernel's minimum
+        # tile is 8 lanes, so the extra lane is free; a vmap(jvp(...)) here
+        # would instead serialize the pallas_call over a grid dimension)
+        from eks_tpu.ops.pallas_nll import filter_nll_fused_tv_batched
+
+        two = lambda a: jnp.broadcast_to(a[None], (2,) + a.shape)
+        interp = jax.default_backend() != "tpu"
+
+        def nll2(u2):  # (2, 2): lane i carries its own parameter copy
+            s2 = jax.nn.sigmoid(u2) * (1.0 - 2 * eps) + eps
+            A2, Q2 = jax.vmap(
+                lambda s: _pupil_model(s[0], s[1], diameters_var, x_var, y_var)
+            )(s2)
+            lls = filter_nll_fused_tv_batched(
+                two(y_loss), two(m0), two(S0), A2, Q2, two(C), two(r_loss),
+                interpret=interp,
+            )
+            return jnp.where(jnp.isfinite(-lls), -lls, 1e12)
+
+        losses, grads = jax.jvp(
+            nll2, (two(u),), (jnp.eye(2, dtype=u.dtype),)
+        )
+        return losses[0], grads
+
     def loss_and_grad(u):
+        if fused:
+            return loss_and_grad_fused(u)
         tangents = jnp.eye(2, dtype=u.dtype)
         losses, grads = jax.vmap(lambda t: jax.jvp(nll, (u,), (t,)))(tangents)
         return losses[0], grads
@@ -423,6 +457,16 @@ def pupil_optimize_smooth(
         )
         return float(s_opt[0]), float(s_opt[1])
 
+    from eks_tpu.ops.pallas_nll import _use_fused_nll_tv
+
+    plane = _core._FORCE_PLANE_OPT is True
+    # hot-loop dispatch: the fused TV Pallas kernel (element build + prefix
+    # scan + likelihood epilogue in ONE kernel, only the y and r planes in
+    # HBM) is the TPU default; force_plane_opt pins the staged plane path
+    # for tests, and the generic AoS loss remains the CPU/fallback path.
+    fused = (not plane) and _use_fused_nll_tv(
+        int(m0.shape[0]), int(y_loss.shape[1]), int(y_loss.shape[0])
+    )
     s_opt, last_loss, iters = _pupil_optimize_jit(
         jnp.asarray(y_loss), jnp.asarray(r_loss),
         jnp.asarray(m0), jnp.asarray(S0), jnp.asarray(C), jnp.asarray(u0),
@@ -430,14 +474,14 @@ def pupil_optimize_smooth(
         x_var=jnp.asarray(x_var),
         y_var=jnp.asarray(y_var),
         lr=float(lr), tol=float(tol), safety_cap=int(safety_cap),
-        # forced-only: for ONE T-length sequence the generic AoS loss
-        # measured faster than the plane layout on TPU (0.61 vs 0.67
-        # ms/iter at T=10k) — the plane advantage is the lane-batched
-        # many-keypoint case (core._optimize_blocks_joint). force_plane_opt
-        # still pins the plane path on for tests.
-        plane=(_core._FORCE_PLANE_OPT is True),
+        plane=plane,
+        fused=fused,
     )
     s_opt = np.asarray(s_opt)
+    from eks_tpu.utils import profiling as _prof
+
+    if _prof.RECORD_OPT_STATS:
+        _prof.LAST_OPT_STATS["joint_iters"] = int(iters)
     logger.debug(
         f"[pupil] iters={int(iters)}  s_diam={float(s_opt[0]):.6f}  "
         f"s_com={float(s_opt[1]):.6f}  NLL={float(last_loss):.6f}"

@@ -55,7 +55,11 @@ from jax.experimental.pallas import tpu as pltpu
 from eks_tpu.ops.linalg import highest_precision, psd_solve
 from eks_tpu.ops.pallas_filter import NC, _filter_algebra, _paired_algebra
 
-__all__ = ["filter_nll_fused_batched", "force_fused_nll"]
+__all__ = [
+    "filter_nll_fused_batched",
+    "filter_nll_fused_tv_batched",
+    "force_fused_nll",
+]
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -475,6 +479,384 @@ def _fused_fn(D: int, O: int, T: int, interpret: bool):
         return out[0], out[1]
 
     return f
+
+
+# --------------------------------------------------------------------------- #
+# time-varying diagonal R: the pupil optimizer's loss
+# --------------------------------------------------------------------------- #
+def _scalar_offsets_tv(D: int, O: int) -> tuple[dict, int]:
+    """Per-lane scalar layout for the TV kernel. R_t varies per step, so the
+    element matrices are built per row (information form) from these
+    time-invariant pieces instead of being precomputed."""
+    dd = D * D
+    offs, n = {}, 0
+    for name, size in (
+        ("Qi", dd),       # Q⁻¹ (element build)
+        ("QiA", dd),      # Q⁻¹ A
+        ("S0i", dd),      # S0⁻¹ (t=0 element)
+        ("S0i_m0", D),    # S0⁻¹ m0
+        ("A", dd),        # element eta/J + epilogue transition
+        ("Q", dd),        # epilogue process noise (already s-scaled)
+        ("Cobs", O * D),  # emission (element build + epilogue)
+        ("m0", D),        # epilogue prior mean
+        ("S0", dd),       # epilogue prior covariance
+    ):
+        offs[name] = n
+        n += size
+    return offs, n
+
+
+def _pack_scalars_tv(m0, S0, A, Q, C):
+    """One lane's TV scalar table — the same time-invariant prep as
+    pkalman._plane_nll_pre_tv (information/Woodbury form)."""
+    from eks_tpu.ops.linalg import small_inv
+
+    Qi = small_inv(Q)
+    S0i = small_inv(S0)
+    return jnp.concatenate([
+        Qi.ravel(), (Qi @ A).ravel(), S0i.ravel(), S0i @ m0,
+        A.ravel(), Q.ravel(), C.ravel(), m0, S0.ravel(),
+    ])
+
+
+def _unpack_scalars_tv(scal, D: int, O: int):
+    """Slice the raw (m0, S0, A, Q, C) back out of a TV scalar table (they
+    ride verbatim for the epilogue, so tangents round-trip exactly)."""
+    offs, _ = _scalar_offsets_tv(D, O)
+
+    def block(name, *shape):
+        n = math.prod(shape)
+        seg = scal[:, offs[name]: offs[name] + n]
+        return seg.reshape((scal.shape[0],) + shape)
+
+    return (
+        block("m0", D),
+        block("S0", D, D),
+        block("A", D, D),
+        block("Q", D, D),
+        block("Cobs", O, D),
+    )
+
+
+def _make_fused_kernel_tv(D: int, O: int, L: int, T: int, paired: bool):
+    """TV twin of :func:`_make_fused_kernel`: the input ref carries 2O planes
+    per lane (y rows 0:O, r rows O:2O); each row's filtering element is built
+    in the information form — one unrolled D x D plane inverse per step
+    instead of the covariance form's O x O solve (pkalman._plane_nll_pre_tv,
+    same push-through identities)."""
+    from eks_tpu.ops.pkalman import _pinv
+
+    combine, ident_vec, n_planes = _filter_algebra(D)
+    offs, n_scal = _scalar_offsets_tv(D, O)
+    if paired:
+        comb, identv, _ = _paired_algebra(combine, ident_vec)
+    else:
+        comb, identv = combine, ident_vec
+    dd = D * D
+    nm = 2 if paired else 1
+
+    def build(scv, yv, rv, t0):
+        def W(name, k):
+            return scv[offs[name] + k]
+
+        ri = [1.0 / rv[o] for o in range(O)]
+        Wt = [
+            [
+                sum(W("Cobs", o * D + a) * W("Cobs", o * D + b) * ri[o]
+                    for o in range(O))
+                for b in range(D)
+            ]
+            for a in range(D)
+        ]
+        v = [
+            sum(W("Cobs", o * D + a) * ri[o] * yv[o] for o in range(O))
+            for a in range(D)
+        ]
+        # one inverse serves t=0 and t>0: select the prior information there
+        M = _pinv([
+            [Wt[a][b] + jnp.where(t0, W("S0i", a * D + b), W("Qi", a * D + b))
+             for b in range(D)]
+            for a in range(D)
+        ])
+        v_eff = [v[a] + jnp.where(t0, W("S0i_m0", a), 0.0) for a in range(D)]
+        b_el = [sum(M[i][k] * v_eff[k] for k in range(D)) for i in range(D)]
+        w = [
+            v[a] - sum(Wt[a][k] * b_el[k] for k in range(D)) for a in range(D)
+        ]
+        MW = [
+            [sum(M[a][k] * Wt[k][b] for k in range(D)) for b in range(D)]
+            for a in range(D)
+        ]
+        WMW = [
+            [sum(Wt[a][k] * MW[k][b] for k in range(D)) for b in range(D)]
+            for a in range(D)
+        ]
+
+        rows = []
+        for i in range(D):  # A_el = M QiA (zero at t=0)
+            for j in range(D):
+                a_ij = sum(M[i][k] * W("QiA", k * D + j) for k in range(D))
+                rows.append(jnp.where(t0, 0.0, a_ij))
+        for i in range(D):  # b planes (t=0 variant folded in via v_eff/M)
+            rows.append(b_el[i])
+        for i in range(D):  # C planes = M (t=0: M0 — same selected inverse)
+            for j in range(D):
+                rows.append(M[i][j])
+        for i in range(D):  # eta = Aᵀ w (zero at t=0)
+            e = sum(W("A", k * D + i) * w[k] for k in range(D))
+            rows.append(jnp.where(t0, 0.0, e))
+        for i in range(D):  # J = Aᵀ (W - W M W) A (zero at t=0)
+            for j in range(D):
+                jv = sum(
+                    W("A", k * D + i) * (Wt[k][l] - WMW[k][l]) * W("A", l * D + j)
+                    for k in range(D) for l in range(D)
+                )
+                rows.append(jnp.where(t0, 0.0, jv))
+        return tuple(rows)
+
+    def epilogue(prev, scv, yv, rv, t0, valid):
+        def W(name, k):
+            return scv[offs[name] + k]
+
+        m_prev = [prev[dd + d] for d in range(D)]
+        P_prev = [[prev[dd + D + a * D + b] for b in range(D)] for a in range(D)]
+        pred_m = [
+            jnp.where(
+                t0, W("m0", d),
+                sum(W("A", d * D + k) * m_prev[k] for k in range(D)),
+            )
+            for d in range(D)
+        ]
+        pred_P = [
+            [
+                jnp.where(
+                    t0, W("S0", a * D + b),
+                    sum(
+                        W("A", a * D + k) * P_prev[k][l] * W("A", b * D + l)
+                        for k in range(D) for l in range(D)
+                    ) + W("Q", a * D + b),
+                )
+                for b in range(D)
+            ]
+            for a in range(D)
+        ]
+        S = [
+            [
+                sum(
+                    W("Cobs", o * D + k) * pred_P[k][l] * W("Cobs", p * D + l)
+                    for k in range(D) for l in range(D)
+                ) + (rv[o] if o == p else 0.0)
+                for p in range(O)
+            ]
+            for o in range(O)
+        ]
+        d_pl = [
+            yv[o] - sum(W("Cobs", o * D + k) * pred_m[k] for k in range(D))
+            for o in range(O)
+        ]
+        Lc = [[None] * O for _ in range(O)]
+        for i in range(O):
+            for j in range(i + 1):
+                s = S[i][j]
+                for k in range(j):
+                    s = s - Lc[i][k] * Lc[j][k]
+                Lc[i][j] = jnp.sqrt(s) if i == j else s / Lc[j][j]
+        z = [None] * O
+        logdet = 0.0
+        for i in range(O):
+            s = d_pl[i]
+            for k in range(i):
+                s = s - Lc[i][k] * z[k]
+            z[i] = s / Lc[i][i]
+            logdet = logdet + jnp.log(Lc[i][i])
+        quad = sum(zi * zi for zi in z)
+        ll = -0.5 * quad - logdet - 0.5 * O * _LOG_2PI
+        return jnp.where(valid, ll, 0.0)
+
+    def kernel(yr_ref, scal_ref, out_ref):
+        # yr_ref: (2O, L, KB, NC) — y planes then r planes;
+        # scal_ref: (nm*n_scal, KB, NC); out_ref: (nm, KB, NC)
+        KB = yr_ref.shape[2]
+        c_iota = lax.broadcasted_iota(jnp.int32, (1, KB, NC), 2)
+
+        sc_all = tuple(scal_ref[pl.ds(j, 1)] for j in range(nm * n_scal))
+        sc_p = sc_all[:n_scal]
+        sc_t = sc_all[n_scal:]
+
+        def y_row(i):
+            return tuple(yr_ref[o, pl.ds(i, 1)] for o in range(O))
+
+        def r_row(i):
+            return tuple(yr_ref[O + o, pl.ds(i, 1)] for o in range(O))
+
+        def masks(i):
+            t0 = jnp.logical_and(i == 0, c_iota == 0)
+            valid = (c_iota * L + i) < T
+            return t0, valid
+
+        if paired:
+
+            def row_fn(i):
+                yv, rv = y_row(i), r_row(i)
+                t0, valid = masks(i)
+                # padded steps carry r = 0 -> 1/r = inf; substitute a benign
+                # 1.0 (their log-density is masked by `valid`, and the chunk
+                # combine is immune: elements beyond T sit in chunks whose
+                # prefixes no valid step consumes)
+                rv = tuple(jnp.where(valid, r, 1.0) for r in rv)
+                p, t = jax.jvp(lambda s: build(s, yv, rv, t0), (sc_p,), (sc_t,))
+                return (*p, *t)
+
+            def ll_fn(prev, i):
+                yv, rv = y_row(i), r_row(i)
+                t0, valid = masks(i)
+                rv = tuple(jnp.where(valid, r, 1.0) for r in rv)
+                return jax.jvp(
+                    lambda pr, s: epilogue(pr, s, yv, rv, t0, valid),
+                    (prev[:n_planes], sc_p),
+                    (prev[n_planes:], sc_t),
+                )
+        else:
+
+            def row_fn(i):
+                t0, valid = masks(i)
+                rv = tuple(jnp.where(valid, r, 1.0) for r in r_row(i))
+                return build(sc_p, y_row(i), rv, t0)
+
+            def ll_fn(prev, i):
+                t0, valid = masks(i)
+                rv = tuple(jnp.where(valid, r, 1.0) for r in r_row(i))
+                return (epilogue(prev, sc_p, y_row(i), rv, t0, valid),)
+
+        totals = lax.fori_loop(
+            1, L, lambda i, c: comb(c, row_fn(i)), row_fn(0)
+        )
+
+        def identity_like(x):
+            return tuple(
+                jnp.full_like(x, v) if v != 0.0 else jnp.zeros_like(x)
+                for v in identv
+            )
+
+        prefix = totals
+        shift = 1
+        while shift < NC:
+            shifted = tuple(pltpu.roll(t, shift, 2) for t in prefix)
+            ident = identity_like(prefix[0])
+            mask = c_iota >= shift
+            shifted = tuple(
+                jnp.where(mask, s, i0) for s, i0 in zip(shifted, ident)
+            )
+            prefix = comb(shifted, prefix)
+            shift *= 2
+        excl = tuple(pltpu.roll(t, 1, 2) for t in prefix)
+        ident = identity_like(prefix[0])
+        excl = tuple(jnp.where(c_iota >= 1, e, i0) for e, i0 in zip(excl, ident))
+
+        def step(i, carry, acc):
+            lls = ll_fn(carry, i)
+            acc = tuple(a + l for a, l in zip(acc, lls))
+            return comb(carry, row_fn(i)), acc
+
+        zero = jnp.zeros((1, KB, NC), dtype=yr_ref.dtype)
+        carry, acc = step(0, excl, (zero,) * nm)
+        carry, acc = lax.fori_loop(
+            1, L, lambda i, ca: step(i, ca[0], ca[1]), (carry, acc)
+        )
+        for m in range(nm):
+            out_ref[pl.ds(m, 1)] = acc[m]
+
+    return kernel, n_scal, n_planes
+
+
+def _use_fused_nll_tv(D: int, O: int, T: int | None = None) -> bool:
+    from eks_tpu.ops.pallas_filter import _use_pallas
+
+    if not (D <= 3 and O <= 8):
+        return False
+    if _FORCE_FUSED is not None:
+        return _FORCE_FUSED
+    if T is not None:
+        offs, n_scal = _scalar_offsets_tv(D, O)
+        _, _, n_planes = _filter_algebra(D)
+        # 2O resident planes per lane (y + r)
+        if _fused_batch_tile(2 * O, n_scal, n_planes, 2, T) < 8:
+            return False
+    return _use_pallas(D)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_tv_fn(D: int, O: int, T: int, interpret: bool):
+    """Differentiable fused TV-R NLL over (scal (N, n_scal),
+    yr_planes (N, 2O, T)). Same pairing strategy as :func:`_fused_fn`;
+    observation/noise tangents fall back to the staged TV plane pipeline."""
+    L = -(-T // NC)
+    kernel_p, n_scal, n_planes = _make_fused_kernel_tv(D, O, L, T, paired=False)
+    kernel_t, _, _ = _make_fused_kernel_tv(D, O, L, T, paired=True)
+    kb_p = max(8, _fused_batch_tile(2 * O, n_scal, n_planes, 1, T))
+    kb_t = max(8, _fused_batch_tile(2 * O, n_scal, n_planes, 2, T))
+
+    @jax.custom_jvp
+    def f(scal, yr_planes):
+        return _fused_call(kernel_p, 1, yr_planes, scal, L, T, interpret, kb_p)[0]
+
+    @functools.partial(f.defjvp, symbolic_zeros=True)
+    def f_jvp(primals, tangents):
+        scal, yr_planes = primals
+        dscal, dyr = tangents
+        if not isinstance(dyr, SymbolicZero):
+            from eks_tpu.ops.pkalman import filter_nll_parallel_planes_tv
+
+            def staged(ys, r, m0, S0, A, Q, C):
+                return vmap(filter_nll_parallel_planes_tv)(
+                    ys, m0, S0, A, Q, C, r
+                )
+
+            ys = jnp.swapaxes(yr_planes[:, :O], 1, 2)
+            r = jnp.swapaxes(yr_planes[:, O:], 1, 2)
+            dys = jnp.swapaxes(dyr[:, :O], 1, 2)
+            dr = jnp.swapaxes(dyr[:, O:], 1, 2)
+            params = _unpack_scalars_tv(scal, D, O)
+            if isinstance(dscal, SymbolicZero):
+                dparams = tuple(jnp.zeros_like(p) for p in params)
+            else:
+                dparams = _unpack_scalars_tv(dscal, D, O)
+            return jax.jvp(staged, (ys, r, *params), (dys, dr, *dparams))
+        if isinstance(dscal, SymbolicZero):
+            return f(scal, yr_planes), jnp.zeros(scal.shape[:1], scal.dtype)
+        paired = jnp.concatenate([scal, dscal], axis=1)
+        out = _fused_call(kernel_t, 2, yr_planes, paired, L, T, interpret, kb_t)
+        return out[0], out[1]
+
+    return f
+
+
+@highest_precision
+def filter_nll_fused_tv_batched(
+    ys: jnp.ndarray,   # (N, T, O)
+    m0: jnp.ndarray,   # (N, D)
+    S0: jnp.ndarray,   # (N, D, D)
+    A: jnp.ndarray,    # (N, D, D)
+    Q: jnp.ndarray,    # (N, D, D)
+    C: jnp.ndarray,    # (N, O, D)
+    r: jnp.ndarray,    # (N, T, O) time-varying diagonal observation noise
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Marginal log-likelihoods (N,) of N independent TIME-VARYING-diag-R
+    linear filters in one fused kernel (the pupil optimizer's loss — its R
+    is the per-frame ensemble variance). Matches
+    :func:`eks_tpu.ops.pkalman.filter_nll_parallel_planes_tv` and the
+    sequential filter at float tolerance; forward-mode differentiable w.r.t.
+    every model parameter through the paired scalar table, with
+    observation/noise tangents routed through the staged plane pipeline.
+    Requires Q and S0 invertible (information form)."""
+    N, T, O = ys.shape
+    D = m0.shape[1]
+    scal = vmap(_pack_scalars_tv)(m0, S0, A, Q, C)
+    yr_planes = jnp.concatenate(
+        [jnp.swapaxes(ys, 1, 2), jnp.swapaxes(r, 1, 2)], axis=1
+    )
+    return _fused_tv_fn(D, O, T, bool(interpret))(scal, yr_planes)
 
 
 @highest_precision
