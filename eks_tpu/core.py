@@ -574,6 +574,12 @@ def optimize_smooth_param(
         # SPMD partitioner through the same jitted program)
         s_log_f, last_loss, iters = _optimize_blocks(*operands, **statics)
 
+    from eks_tpu.utils import profiling as _prof
+
+    if _prof.RECORD_OPT_STATS:
+        _prof.LAST_OPT_STATS["joint_iters"] = int(np.max(np.asarray(iters)))
+        _prof.LAST_OPT_STATS["n_blocks"] = n_blocks
+
     if logger.isEnabledFor(logging.DEBUG):
         s_log_host = np.asarray(s_log_f)[:n_blocks]
         ll_host, it_host = np.asarray(last_loss), np.asarray(iters)

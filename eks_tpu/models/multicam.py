@@ -323,9 +323,14 @@ def ensemble_kalman_smoother_multicam(
             devices=devices, partition=partition,
         )
 
-    # ensemble + centering
+    # ensemble + centering. The ensemble kernel runs on the host CPU backend:
+    # the general path consumes its outputs host-side (centering, inflation,
+    # PCA), so running it on a remote-attached accelerator would pay an
+    # upload of the raw (M, C, T, K, 3) planes plus a pull of the stats for
+    # zero downstream device work (the fused paths already prep host-side).
     _t0 = time.perf_counter()
-    emA = ensemble(marker_array, avg_mode=avg_mode, var_mode=var_mode)
+    with jax.default_device(jax.devices("cpu")[0]):
+        emA = ensemble(marker_array, avg_mode=avg_mode, var_mode=var_mode)
     emA_unsm = emA.slice_fields("x", "y")
     emA_vars = emA.slice_fields("var_x", "var_y")
     emA_likes = emA.slice_fields("likelihood")

@@ -17,7 +17,34 @@ import jax
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["stage_timer", "device_trace", "cost_summary"]
+__all__ = [
+    "stage_timer",
+    "device_trace",
+    "cost_summary",
+    "record_opt_stats",
+    "LAST_OPT_STATS",
+]
+
+# Optimizer convergence recording (off by default: reading the iteration
+# counters costs one device->host pull per optimize call, ~30-50ms over a
+# remote-attached chip). The benchmark enables it on its warm-up runs to get
+# honest iteration counts for the CPU-baseline extrapolation.
+RECORD_OPT_STATS = False
+LAST_OPT_STATS: dict = {}
+
+
+@contextlib.contextmanager
+def record_opt_stats():
+    """Record optimizer convergence stats (joint/loop iteration counts) from
+    smoother runs inside the block into ``LAST_OPT_STATS``."""
+    global RECORD_OPT_STATS
+    prev = RECORD_OPT_STATS
+    RECORD_OPT_STATS = True
+    LAST_OPT_STATS.clear()
+    try:
+        yield LAST_OPT_STATS
+    finally:
+        RECORD_OPT_STATS = prev
 
 
 @contextlib.contextmanager
