@@ -147,6 +147,8 @@ def _plu_factor(A: np.ndarray) -> np.ndarray:
     with ``scipy.linalg.lu(permute_l=True)``; call the same LAPACK routine
     when scipy is importable (identical bits, ~10x the pure-numpy loop),
     else fall back to Doolittle elimination with the same pivoting rule.
+    (A direct ``dgetrf`` + numpy P·L rebuild was measured SLOWER than the
+    wrapper at these shapes — the dispatcher builds P·L in C.)
     """
     if _scipy_lu is not None:
         # check_finite=False skips an O(N·K) validation pass per call (the EM
@@ -172,6 +174,26 @@ def _plu_factor(A: np.ndarray) -> np.ndarray:
     PL = np.empty_like(L)
     PL[perm] = L  # undo the row swaps: rows return to their original slots
     return PL
+
+
+try:  # LAPACK Householder QR — the factorization under np.linalg.qr
+    from scipy.linalg.lapack import dgeqrf as _lapack_geqrf
+    from scipy.linalg.lapack import dorgqr as _lapack_orgqr
+except Exception:  # pragma: no cover
+    _lapack_geqrf = _lapack_orgqr = None
+
+
+def _qr_q(A: np.ndarray) -> np.ndarray:
+    """Reduced-QR Q factor. ``dgeqrf``+``dorgqr`` are the exact LAPACK
+    routines ``np.linalg.qr`` wraps (bit-identical Q, ~1.9x without the
+    gufunc wrapper's dispatch/validation)."""
+    if _lapack_geqrf is not None and A.shape[0] >= A.shape[1]:
+        qr_raw, tau, _work, _info = _lapack_geqrf(
+            np.asarray(A, dtype=np.float64)
+        )
+        q, _work, _info = _lapack_orgqr(qr_raw, tau)
+        return q
+    return np.linalg.qr(A)[0]
 
 
 def _svd_flip_sign(U: np.ndarray, Vt: np.ndarray, u_based: bool = True):
@@ -209,7 +231,7 @@ def _randomized_svd(
     for _ in range(n_iter):
         Q = _plu_factor(M @ Q)
         Q = _plu_factor(M.T @ Q)
-    Q, _ = np.linalg.qr(M @ Q)
+    Q = _qr_q(M @ Q)
     B = Q.T @ M
     Uhat, s, Vt = np.linalg.svd(B, full_matrices=False)
     U = Q @ Uhat

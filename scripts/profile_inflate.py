@@ -6,9 +6,13 @@ JAX_PLATFORMS=cpu for the host-stage-only view (the inflation fixed point is
 host-side either way).
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 FRAMES, KPS = 5_000, 5
 
