@@ -51,6 +51,7 @@ from eks_tpu.marker_array import MarkerArray
 from eks_tpu.ops.kalman import kalman_filter, kalman_smoother
 from eks_tpu.ops.linalg import highest_precision
 from eks_tpu.ops.pkalman import (
+    ekf_nll_parallel_planes_batched,
     ekf_parallel,
     eks_parallel,
     filter_nll_parallel_planes_batched,
@@ -233,13 +234,26 @@ class force_plane_opt:
         return False
 
 
-def _filter_nll(y, m0, S0, A, Q, C, r, h_fn, sequential):
+# Relinearization sweeps for the nonlinear (EKF) optimizer loss when a good
+# linearization trajectory is supplied (the calibrated family feeds the
+# triangulated 3-D trajectory): 2 warm-started sweeps sit at the sequential-
+# EKF fixed point that 12 cold sweeps reach from a broadcast prior.
+_EKF_OPT_SWEEPS_WARM = 2
+_EKF_OPT_SWEEPS_COLD = 12
+
+
+def _filter_nll(y, m0, S0, A, Q, C, r, h_fn, sequential, x_init=None):
     """Filter NLL for one sequence; non-finite -> 1e12 penalty
     (reference guard: eks/core.py:471,502,650)."""
     if sequential:
         res = kalman_filter(y, m0, S0, A, Q, C=C, r_diag=r, h_fn=h_fn)
     elif h_fn is not None:
-        res = ekf_parallel(y, m0, S0, A, Q, h_fn, r)
+        n_iters = (
+            _EKF_OPT_SWEEPS_WARM if x_init is not None else _EKF_OPT_SWEEPS_COLD
+        )
+        res = ekf_parallel(
+            y, m0, S0, A, Q, h_fn, r, n_iters=n_iters, x_init=x_init
+        )
     else:
         res = kalman_filter_parallel(y, m0, S0, A, Q, C, r)
     nll = -res.log_likelihood
@@ -250,6 +264,7 @@ def _filter_nll(y, m0, S0, A, Q, C, r, h_fn, sequential):
     jax.jit,
     static_argnames=(
         "sequential", "lr", "s_lo", "s_hi", "tol", "safety_cap", "joint",
+        "plane_ekf",
     ),
 )
 @highest_precision
@@ -263,6 +278,7 @@ def _optimize_blocks(
     CB,  # (n_blocks, B_max, O, D)
     maskB,  # (n_blocks, B_max) 1.0 for real members, 0.0 for padding
     s_log_init,  # (n_blocks,)
+    xB=None,  # (n_blocks, B_max, T', D) EKF linearization trajectories
     h_fn: Optional[Callable] = None,
     sequential: bool = False,
     lr: float = 0.25,
@@ -271,6 +287,7 @@ def _optimize_blocks(
     tol: float = 1e-2,
     safety_cap: int = 300,
     joint: bool = False,  # resolved by the caller: True on TPU (linear/R-diag)
+    plane_ekf: bool = False,  # resolved by the caller: True on TPU (h_fn set)
 ):
     """Tune one log(s) per block by Adam on the summed member filter NLLs.
 
@@ -292,15 +309,28 @@ def _optimize_blocks(
             yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init,
             lr=lr, s_lo=s_lo, s_hi=s_hi, tol=tol, safety_cap=safety_cap,
         )
+    if plane_ekf and h_fn is not None and not sequential and rB.ndim == 3:
+        return _optimize_blocks_ekf_joint(
+            yB, rB, m0B, S0B, AB, QB, maskB, s_log_init, xB, h_fn,
+            lr=lr, s_lo=s_lo, s_hi=s_hi, tol=tol, safety_cap=safety_cap,
+        )
 
-    def optimize_one(y_b, r_b, m0_b, S0_b, A_b, Q_b, C_b, mask_b, s_log0):
+    def optimize_one(y_b, r_b, m0_b, S0_b, A_b, Q_b, C_b, mask_b, s_log0,
+                     x_b=None):
         def loss_fn(s_log):
             s = jnp.exp(jnp.clip(s_log, s_lo, s_hi))
 
-            def member_nll(y, r, m0, S0, A, Q, C):
-                return _filter_nll(y, m0, S0, A, s * Q, C, r, h_fn, sequential)
+            def member_nll(y, r, m0, S0, A, Q, C, x0=None):
+                return _filter_nll(
+                    y, m0, S0, A, s * Q, C, r, h_fn, sequential, x_init=x0
+                )
 
-            nlls = vmap(member_nll)(y_b, r_b, m0_b, S0_b, A_b, Q_b, C_b)
+            if x_b is None:
+                nlls = vmap(member_nll)(y_b, r_b, m0_b, S0_b, A_b, Q_b, C_b)
+            else:
+                nlls = vmap(member_nll)(
+                    y_b, r_b, m0_b, S0_b, A_b, Q_b, C_b, x_b
+                )
             return jnp.sum(nlls * mask_b)
 
         # the parameter is a scalar, so forward-mode differentiation (one
@@ -336,7 +366,13 @@ def _optimize_blocks(
         )
         return s_log_f, last_loss, iters_f
 
-    return vmap(optimize_one)(yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init)
+    if xB is None:
+        return vmap(optimize_one)(
+            yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init
+        )
+    return vmap(optimize_one)(
+        yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init, xB
+    )
 
 
 def _optimize_blocks_joint(
@@ -421,6 +457,95 @@ def _optimize_blocks_joint(
     return s_log_f, last_loss, iters_f
 
 
+def _optimize_blocks_ekf_joint(
+    yB, rB, m0B, S0B, AB, QB, maskB, s_log_init, xB, h_fn,
+    lr, s_lo, s_hi, tol, safety_cap,
+):
+    """Joint while-loop twin of the vmapped optimizer for the NONLINEAR
+    (EKF) constant-diag-R case: every iteration evaluates ONE lane-batched
+    plane EKF NLL (ops/pkalman.py:ekf_nll_parallel_planes_batched) over all
+    n_blocks*B_max member sequences — the relinearized time-varying-C
+    information-form table through a single lane-batched prefix scan per
+    sweep — instead of vmap grid-serializing the AoS iterated EKF one lane
+    per grid step. Loop semantics (per-lane Adam state, masked carries, stop
+    rule) are identical to :func:`_optimize_blocks_joint`.
+
+    With ``xB`` (the calibrated family's triangulated trajectories) each
+    loss evaluation needs ``_EKF_OPT_SWEEPS_WARM + 1`` sweeps to sit at the
+    sequential-EKF fixed point; without it, the broadcast-prior cold start
+    uses ``_EKF_OPT_SWEEPS_COLD + 1`` (matching the AoS path's schedule).
+    """
+    n_blocks, b_max = yB.shape[:2]
+    n_flat = n_blocks * b_max
+    T = yB.shape[2]
+    D = m0B.shape[-1]
+
+    def flat(x):
+        return x.reshape((n_flat,) + x.shape[2:])
+
+    yF, rF, m0F, S0F, AF = map(flat, (yB, rB, m0B, S0B, AB))
+    maskF = flat(maskB)
+    if xB is None:
+        xF = jnp.broadcast_to(m0F[:, None, :], (n_flat, T, D))
+        n_sweeps = _EKF_OPT_SWEEPS_COLD + 1
+    else:
+        xF = flat(xB)
+        n_sweeps = _EKF_OPT_SWEEPS_WARM + 1
+
+    def loss_vec(s_log):  # (n_blocks,) -> per-block masked member-NLL sums
+        s = jnp.exp(jnp.clip(s_log, s_lo, s_hi))
+        sQ = flat(s[:, None, None, None] * QB)
+        lls = ekf_nll_parallel_planes_batched(
+            yF, m0F, S0F, AF, sQ, h_fn, rF, xF, n_sweeps=n_sweeps
+        )
+        nll = jnp.where(jnp.isfinite(lls), -lls, 1e12)
+        return jnp.sum((nll * maskF).reshape(n_blocks, b_max), axis=1)
+
+    def loss_and_grad(s_log):
+        return jax.jvp(loss_vec, (s_log,), (jnp.ones_like(s_log),))
+
+    opt = optax.adam(1.0)
+    opt_state0 = vmap(opt.init)(s_log_init)
+
+    def cond(carry):
+        _, _, _, iters, done = carry
+        return jnp.any(jnp.logical_and(~done, iters < safety_cap))
+
+    def body(carry):
+        s_log, opt_state, prev_loss, iters, done = carry
+        active = jnp.logical_and(~done, iters < safety_cap)
+        loss, grad = loss_and_grad(s_log)
+        updates, new_state = vmap(opt.update)(grad * lr, opt_state)
+        s_new = optax.apply_updates(s_log, updates)
+        rel_tol = tol * jnp.abs(jnp.log(jnp.maximum(prev_loss, 1e-12)))
+        stop = jnp.where(
+            jnp.isfinite(prev_loss),
+            jnp.abs(loss - prev_loss) < (rel_tol + 1e-6),
+            False,
+        )
+
+        def sel(new, old):
+            return jnp.where(active, new, old)
+
+        return (
+            sel(s_new, s_log),
+            jax.tree_util.tree_map(sel, new_state, opt_state),
+            sel(loss, prev_loss),
+            sel(iters + 1, iters),
+            sel(stop, done),
+        )
+
+    init = (
+        s_log_init,
+        opt_state0,
+        jnp.full((n_blocks,), jnp.inf, dtype=yB.dtype),
+        jnp.zeros((n_blocks,), dtype=jnp.int32),
+        jnp.zeros((n_blocks,), dtype=bool),
+    )
+    s_log_f, _, last_loss, iters_f, _ = lax.while_loop(cond, body, init)
+    return s_log_f, last_loss, iters_f
+
+
 def optimize_smooth_param(
     ys: jnp.ndarray,  # (K, T, O)
     m0s: jnp.ndarray,  # (K, D)
@@ -439,11 +564,20 @@ def optimize_smooth_param(
     min_R_var: float = 1e-4,
     h_fn: Optional[Callable] = None,
     sequential: bool = False,
+    x_init: Optional[jnp.ndarray] = None,  # (K, T, D) EKF linearization init
     mesh=None,
     partition: str = "keypoint",
     return_device: bool = False,
 ) -> np.ndarray:
     """Optimize ``s`` per block; returns per-keypoint ``s_finals`` (K,).
+
+    With ``h_fn`` (nonlinear emissions), ``x_init`` supplies per-keypoint
+    linearization trajectories (the calibrated family's triangulated 3-D
+    points): the iterated-EKF loss then needs ``_EKF_OPT_SWEEPS_WARM``
+    relinearization sweeps per evaluation instead of the broadcast-prior
+    cold start's ``_EKF_OPT_SWEEPS_COLD`` — same fixed point (the sequential
+    EKF, the loss the reference optimizes through dynamax at
+    eks/core.py:469), ~4x fewer sweeps.
 
     With ``return_device=True`` (and no mesh) the result stays a device
     array so the caller can enqueue downstream work before paying the pull.
@@ -489,6 +623,12 @@ def optimize_smooth_param(
                 )
             y_cropped = np.stack(y_cropped)  # (K, T', O)
             r_const = np.stack(r_const)  # (K, O)
+            if x_init is not None:
+                # the linearization trajectory shares the loss time axis
+                x_np = np.asarray(x_init)
+                x_init = np.stack(
+                    [crop_frames(x_np[k], s_frames) for k in range(K)]
+                )
         else:
             y_cropped = ys
             r_const = np.clip(
@@ -536,21 +676,33 @@ def optimize_smooth_param(
     operands = [
         gather(y_cropped), gather(r_const), gather(m0s), gather(S0s),
         gather(As), gather(Qs), gather(Cs), mask, s_log_init,
+        gather(x_init) if x_init is not None else None,
     ]
     if mesh is not None and partition == "time":
         from eks_tpu.parallel.mesh import shard_time
 
         # yB is (n_blocks, B_max, T', O): time axis 2; everything else is
-        # small and replicated
+        # small and replicated — except the (n_blocks, B_max, T', D)
+        # linearization trajectories, which share the time axis
+        x_op = operands.pop()
         operands = shard_time(
             mesh, operands, [2] + [None] * 8, axis_name=mesh.axis_names[0]
         )
+        if x_op is not None:
+            x_op = shard_time(
+                mesh, [x_op], [2], axis_name=mesh.axis_names[0]
+            )[0]
+        operands.append(x_op)
     elif mesh is not None:
         from eks_tpu.parallel.mesh import pad_and_shard_leading
 
+        x_op = operands.pop()
         operands, _ = pad_and_shard_leading(mesh, operands)
+        if x_op is not None:
+            x_op = pad_and_shard_leading(mesh, [x_op])[0][0]
+        operands.append(x_op)
     else:
-        operands[-2:] = [jnp.asarray(mask), jnp.asarray(s_log_init)]
+        operands[-3:-1] = [jnp.asarray(mask), jnp.asarray(s_log_init)]
 
     s_lo, s_hi = s_bounds_log
     statics = dict(
@@ -563,6 +715,9 @@ def optimize_smooth_param(
         safety_cap=int(safety_cap),
         joint=bool(
             _plane_opt_enabled(mesh) and h_fn is None and not sequential
+        ),
+        plane_ekf=bool(
+            _plane_opt_enabled(mesh) and h_fn is not None and not sequential
         ),
     )
     if mesh is not None and partition == "keypoint":
@@ -645,6 +800,7 @@ def run_kalman_smoother(
     safety_cap: int = 300,
     h_fn: Optional[Callable] = None,
     sequential: bool = False,
+    x_init: Optional[jnp.ndarray] = None,  # (K, T, D) EKF linearization init
     devices: int | None = None,
     partition: Literal["keypoint", "time"] = "keypoint",
 ) -> tuple[np.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -682,8 +838,8 @@ def run_kalman_smoother(
 
             mesh = make_mesh(devices, axis_name="t")
             logger.info(f"time-axis sequence parallelism over {devices} devices")
-            ys, m0s, S0s, As, Cs, Qs, ensemble_vars = jax.device_get(
-                (ys, m0s, S0s, As, Cs, Qs, ensemble_vars)
+            ys, m0s, S0s, As, Cs, Qs, ensemble_vars, x_init = jax.device_get(
+                (ys, m0s, S0s, As, Cs, Qs, ensemble_vars, x_init)
             )
             # pallas=False: a fused single-device kernel cannot span the
             # sharded scan axis; the XLA associative scan partitions with
@@ -693,7 +849,7 @@ def run_kalman_smoother(
                 return _run_kalman_smoother_impl(
                     ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
                     smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,
-                    h_fn, sequential, mesh, partition,
+                    h_fn, sequential, mesh, partition, x_init=x_init,
                 )
 
         mesh = make_mesh(devices)
@@ -701,8 +857,8 @@ def run_kalman_smoother(
         # operands must re-shard onto the mesh devices; pull any
         # default-device arrays to host ONCE here so the two stages below
         # do not each trigger their own D2H round-trip
-        ys, m0s, S0s, As, Cs, Qs, ensemble_vars = jax.device_get(
-            (ys, m0s, S0s, As, Cs, Qs, ensemble_vars)
+        ys, m0s, S0s, As, Cs, Qs, ensemble_vars, x_init = jax.device_get(
+            (ys, m0s, S0s, As, Cs, Qs, ensemble_vars, x_init)
         )
         # the batched programs run under shard_map on the mesh devices, so
         # each device executes the fused Pallas kernels on its local lanes —
@@ -717,19 +873,19 @@ def run_kalman_smoother(
             return _run_kalman_smoother_impl(
                 ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames,
                 smooth_param, blocks, lr, s_bounds_log, tol, safety_cap,
-                h_fn, sequential, mesh, partition,
+                h_fn, sequential, mesh, partition, x_init=x_init,
             )
     return _run_kalman_smoother_impl(
         ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames, smooth_param,
         blocks, lr, s_bounds_log, tol, safety_cap, h_fn, sequential, mesh,
-        partition,
+        partition, x_init=x_init,
     )
 
 
 def _run_kalman_smoother_impl(
     ys, m0s, S0s, As, Cs, Qs, ensemble_vars, s_frames, smooth_param, blocks,
     lr, s_bounds_log, tol, safety_cap, h_fn, sequential, mesh,
-    partition="keypoint",
+    partition="keypoint", x_init=None,
 ):
     K, T, _ = ys.shape
 
@@ -779,6 +935,7 @@ def _run_kalman_smoother_impl(
             safety_cap=safety_cap,
             h_fn=h_fn,
             sequential=sequential,
+            x_init=x_init,
             mesh=mesh,
             partition=partition,
             return_device=(mesh is None),

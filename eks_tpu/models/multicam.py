@@ -404,6 +404,7 @@ def ensemble_kalman_smoother_multicam(
         s_frames=s_frames,
         smooth_param=smooth_param,
         h_fn=h_fn,
+        x_init=ys_3d if using_nonlinear else None,
         devices=devices,
         partition=partition,
     )
@@ -850,8 +851,10 @@ def _prep_multicam_nonlinear(
     Inputs: (M, C, T, K) prediction planes + stacked camera params
     (Ks (C,3,3), dists (C,14), extr (C,3,4)). Returns
     (ys (K,T,2C) raw pixel obs, evars (K,T,2C),
-    m0s, S0s, As, Qs, Cs) with a 3-D identity emission placeholder —
-    the actual emission is the nonlinear projection h_fn.
+    m0s, S0s, As, Qs, Cs, ys_3d) with a 3-D identity emission placeholder —
+    the actual emission is the nonlinear projection h_fn. ``ys_3d``
+    (K, T, 3) is the triangulated trajectory: the s-optimizer's EKF
+    linearization init (core.py:optimize_smooth_param x_init).
     """
     stats = _ensemble_kernel(
         data_x, data_y, data_lh, n_models, avg_mode, var_mode, 1000.0
@@ -886,7 +889,7 @@ def _prep_multicam_nonlinear(
     # the ensemble-stat table is NOT returned: the caller recomputes the
     # output columns on the host (the raw planes are host-resident anyway),
     # and a jit output cannot be dead-code-eliminated by XLA
-    return ys, evars, m0s, S0s, As, Qs, As
+    return ys, evars, m0s, S0s, As, Qs, As, ys_3d
 
 
 @jax.jit
@@ -950,12 +953,12 @@ def _smoother_multicam_nonlinear_fused(
                 M, avg_mode, var_mode,
                 Ks_np, dists_np, extr_np,
             )
-        ys, evars, m0s, S0s, As, Qs, Cs = jax.device_get(prep_out)
+        ys, evars, m0s, S0s, As, Qs, Cs, ys_3d = jax.device_get(prep_out)
     else:
         Ks_j = jnp.asarray(Ks_np)
         dists_j = jnp.asarray(dists_np)
         extr_j = jnp.asarray(extr_np)
-        ys, evars, m0s, S0s, As, Qs, Cs = _prep_multicam_nonlinear(
+        ys, evars, m0s, S0s, As, Qs, Cs, ys_3d = _prep_multicam_nonlinear(
             jnp.asarray(arr[..., 0]),
             jnp.asarray(arr[..., 1]),
             jnp.asarray(arr[..., 2]),
@@ -972,6 +975,7 @@ def _smoother_multicam_nonlinear_fused(
         else jnp.swapaxes(evars, 0, 1),  # (T, K, 2C)
         smooth_param=smooth_param,
         h_fn=h_fn,
+        x_init=ys_3d,  # triangulated trajectory: EKF linearization init
         devices=devices,
         partition=partition,
     )

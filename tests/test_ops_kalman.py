@@ -194,7 +194,7 @@ def test_nonlinear_emission_matches_linear():
 # --------------------------------------------------------------------- #
 # iterated parallel EKF (nonlinear emissions at O(log T) depth)
 # --------------------------------------------------------------------- #
-def _nonlinear_problem(rng, T=300, D=3, O=4):
+def _nonlinear_problem(rng, T=300, D=3, O=4, return_states=False):
     from eks_tpu.ops.pkalman import eks_parallel  # noqa: F401  (import check)
 
     P1 = rng.normal(size=(2, D)) * 0.5
@@ -217,6 +217,8 @@ def _nonlinear_problem(rng, T=300, D=3, O=4):
     ys = np.stack([np.asarray(h(jnp.asarray(v))) for v in xs])
     ys += rng.normal(size=(T, O)) * 0.05
     r = np.full((T, O), 0.05**2) * rng.uniform(0.5, 2.0, (T, O))
+    if return_states:
+        return h, ys, m0, S0, A, Q, r, xs
     return h, ys, m0, S0, A, Q, r
 
 
@@ -293,6 +295,116 @@ def test_iterated_parallel_ekf_fly_calibration():
     np.testing.assert_allclose(
         np.asarray(par.smoothed_covs), np.asarray(seq.smoothed_covs), atol=1e-4
     )
+
+
+def test_plane_ekf_nll_matches_aos(rng):
+    """The plane-native batched iterated-EKF NLL (the calibrated family's
+    s-optimizer loss, ops/pkalman.py::ekf_nll_parallel_planes_batched) must
+    agree with the AoS ekf_parallel at EVERY sweep count (n_sweeps = k is
+    ekf_parallel's n_iters = k-1: same relinearization schedule), and with
+    the sequential EKF at convergence."""
+    from jax import vmap
+
+    from eks_tpu.ops.pkalman import ekf_nll_parallel_planes_batched, ekf_parallel
+
+    h, ys, m0, S0, A, Q, r = _nonlinear_problem(rng, T=120)
+    N = 3
+    ysB = jnp.asarray(
+        np.stack([ys + 0.01 * i for i in range(N)]), jnp.float32
+    )
+    m0B = jnp.asarray(np.stack([m0 * (1 + 0.1 * i) for i in range(N)]), jnp.float32)
+    S0B = jnp.asarray(np.tile(S0, (N, 1, 1)), jnp.float32)
+    AB = jnp.asarray(np.tile(A, (N, 1, 1)), jnp.float32)
+    QB = jnp.asarray(np.tile(Q, (N, 1, 1)), jnp.float32)
+    rB = jnp.asarray(np.tile(np.median(r, axis=0), (N, 1)), jnp.float32)
+    xB = jnp.asarray(
+        np.tile(m0, (N, ys.shape[0], 1)) * 0.5, jnp.float32
+    )
+
+    for k in (1, 3, 13):
+        ll_plane = ekf_nll_parallel_planes_batched(
+            ysB, m0B, S0B, AB, QB, h, rB, xB, n_sweeps=k
+        )
+        ll_aos = vmap(
+            lambda y, m, s, q, xi: ekf_parallel(
+                y, m, s, AB[0], q, h, rB[0], n_iters=k - 1, x_init=xi
+            ).log_likelihood
+        )(ysB, m0B, S0B, QB, xB)
+        np.testing.assert_allclose(
+            np.asarray(ll_plane), np.asarray(ll_aos), rtol=1e-5
+        )
+
+    # at convergence both reach the sequential EKF
+    ll_13 = ekf_nll_parallel_planes_batched(
+        ysB, m0B, S0B, AB, QB, h, rB, xB, n_sweeps=13
+    )
+    ll_seq = vmap(
+        lambda y, m, s, q: kalman_filter(
+            y, m, s, AB[0], q, C=None, r_diag=rB[0], h_fn=h
+        ).log_likelihood
+    )(ysB, m0B, S0B, QB)
+    np.testing.assert_allclose(np.asarray(ll_13), np.asarray(ll_seq), rtol=1e-5)
+
+
+def test_plane_ekf_nll_warm_start_sits_at_fixed_point(rng):
+    """From a good linearization init (the calibrated family feeds the
+    triangulated trajectory), core._EKF_OPT_SWEEPS_WARM + 1 sweeps must land
+    on the cold-start (12 + 1 sweeps) fixed point — the property that lets
+    the optimizer run ~4x fewer relinearization sweeps per Adam iteration."""
+    from eks_tpu.core import _EKF_OPT_SWEEPS_WARM
+    from eks_tpu.ops.pkalman import ekf_nll_parallel_planes_batched
+
+    h, ys, m0, S0, A, Q, r, xs = _nonlinear_problem(
+        rng, T=150, return_states=True
+    )
+    args = [
+        jnp.asarray(a, jnp.float32)[None]
+        for a in (ys, m0, S0, A, Q, np.median(r, axis=0))
+    ]
+    ysB, m0B, S0B, AB, QB, rB = args
+    # warm init: the (noisy) true states — the analogue of triangulation
+    x_good = jnp.asarray(xs, jnp.float32)[None]
+    x_cold = jnp.broadcast_to(m0B[:, None, :], x_good.shape)
+
+    ll_cold = ekf_nll_parallel_planes_batched(
+        ysB, m0B, S0B, AB, QB, h, rB, x_cold, n_sweeps=13
+    )
+    ll_warm = ekf_nll_parallel_planes_batched(
+        ysB, m0B, S0B, AB, QB, h, rB, x_good,
+        n_sweeps=_EKF_OPT_SWEEPS_WARM + 1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ll_warm), np.asarray(ll_cold), rtol=1e-6
+    )
+
+
+def test_plane_ekf_nll_jvp_matches_finite_difference(rng):
+    """The optimizer consumes d(NLL)/d(log s) through jax.jvp of the plane
+    EKF loss; pin it against a float64-ish central difference."""
+    import jax
+
+    from eks_tpu.ops.pkalman import ekf_nll_parallel_planes_batched
+
+    h, ys, m0, S0, A, Q, r, xs = _nonlinear_problem(
+        rng, T=100, return_states=True
+    )
+    ysB, m0B, S0B, AB, QB = (
+        jnp.asarray(a, jnp.float32)[None] for a in (ys, m0, S0, A, Q)
+    )
+    rB = jnp.asarray(np.median(r, axis=0), jnp.float32)[None]
+    xB = jnp.asarray(xs, jnp.float32)[None]
+
+    def loss(s_log):
+        ll = ekf_nll_parallel_planes_batched(
+            ysB, m0B, S0B, AB, jnp.exp(s_log) * QB, h, rB, xB, n_sweeps=3
+        )
+        return -ll[0]
+
+    s0 = jnp.asarray(0.4, jnp.float32)
+    val, tangent = jax.jvp(loss, (s0,), (jnp.ones_like(s0),))
+    eps = 1e-2
+    fd = (float(loss(s0 + eps)) - float(loss(s0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(tangent), fd, rtol=2e-2)
 
 
 @pytest.mark.parametrize("D,O", [(2, 2), (3, 6), (3, 8)])
