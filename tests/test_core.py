@@ -201,7 +201,7 @@ def test_joint_optimizer_loop_matches_vmapped_semantics(monkeypatch):
         s_log = jnp.log(sQF[:, 0, 0])
         return -(100.0 * (s_log - target) ** 2 + jnp.mean(yF, axis=(1, 2)) ** 2)
 
-    def fake_single(y, m0, S0, A, sQ, C, r, h_fn, sequential):
+    def fake_single(y, m0, S0, A, sQ, C, r, h_fn, sequential, x_init=None):
         ll = fake_batched(
             y[None], m0[None], S0[None], A[None], sQ[None], C[None], r[None]
         )[0]
