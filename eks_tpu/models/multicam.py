@@ -532,8 +532,16 @@ def initialize_kalman_filter_pca(
     (reference: eks/multicam_smoother.py:554-597)."""
     K = len(good_pcs_list)
     m0s = np.zeros((K, n_latent))
+    # per-column np.var calls, not an axis-reduction: the reference computes
+    # each diagonal with its own 1-D np.var and the f32 summation order
+    # differs enough to show up in the parity goldens
     S0s = np.stack(
-        [np.diag(np.var(good_pcs_list[k], axis=0)) for k in range(K)]
+        [
+            np.diag(
+                [np.var(good_pcs_list[k][:, i]) for i in range(n_latent)]
+            )
+            for k in range(K)
+        ]
     )
     As = np.tile(np.eye(n_latent), (K, 1, 1))
     Cs = np.stack([pca.components_.T for pca in ensemble_pca])  # (K, 2C, L)
@@ -636,11 +644,18 @@ def _prep_multicam_linear(
     evars = jnp.transpose(variances, (2, 1, 0, 3)).reshape(K, T, 2 * C)
 
     # PCA on the truncated good rows (sklearn PCA re-centers internally, so
-    # subtract the good-row column mean before masking)
+    # subtract the good-row column mean before masking). Covariance-eigh
+    # route — the formulation sklearn's covariance_eigh solver uses and the
+    # bit-exact host fit (stats._pca_fit_sklearn_exact) replicates; rows
+    # zeroed AFTER centering contribute nothing to XᵀX, so no dynamic-shape
+    # gather is needed, and an (F, F) eigh per keypoint beats an (T, F) SVD
+    # on TPU by a wide margin.
     wK = w.T[:, :, None]  # (K, T, 1)
     col_mean = jnp.sum(X * wK, axis=1) / denom  # (K, 2C)
     Xg_c = (X - col_mean[:, None, :]) * wK
-    _, _, vt = jnp.linalg.svd(Xg_c, full_matrices=False)
+    cov = jnp.einsum("ktf,ktg->kfg", Xg_c, Xg_c)  # (K, 2C, 2C)
+    _, V = jnp.linalg.eigh(cov)  # ascending eigenvalues
+    vt = jnp.flip(V, axis=-1).swapaxes(-1, -2)  # rows = descending components
     # sklearn svd_flip (v-based): max-|v| loading of each component positive
     max_idx = jnp.argmax(jnp.abs(vt), axis=-1)
     signs = jnp.sign(jnp.take_along_axis(vt, max_idx[..., None], axis=-1)[..., 0])

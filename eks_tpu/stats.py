@@ -39,23 +39,67 @@ __all__ = ["PCA", "compute_pca", "FactorAnalysis", "compute_mahalanobis"]
 @partial(jax.jit, static_argnums=(1,))
 @highest_precision
 def _pca_fit_batched(X: jnp.ndarray, n_components: int):
-    """Batched PCA fit: X (K, N, F) -> means (K, F), components (K, L, F)."""
-    means = jnp.mean(X, axis=1, keepdims=True)
-    Xc = X - means
-    u, s, vt = jnp.linalg.svd(Xc, full_matrices=False)
-    # sklearn PCA sign convention (svd_flip with u_based_decision=False):
-    # flip each component so its max-|v| loading is positive
-    max_idx = jnp.argmax(jnp.abs(vt), axis=-1)  # (K, F')
+    """Batched device PCA fit via the covariance-eigendecomposition route
+    (the same formulation sklearn's ``covariance_eigh`` solver uses for
+    tall-skinny data): X (K, N, F) -> means (K, F), components (K, L, F).
+
+    An (F, F) eigh per keypoint is far cheaper on TPU than an (N, F) SVD and
+    keeps the device twin algorithmically aligned with the bit-exact host
+    fit below (they still differ at f32-rounding level across backends)."""
+    N = X.shape[1]
+    means = jnp.mean(X, axis=1)  # (K, F)
+    C = jnp.einsum("knf,kng->kfg", X, X) - N * (
+        means[:, :, None] * means[:, None, :]
+    )
+    w, V = jnp.linalg.eigh(C)  # ascending
+    Vt = jnp.flip(V, axis=-1).swapaxes(-1, -2)  # (K, F, F), descending rows
+    # sklearn svd_flip (v-based): max-|v| loading of each component positive
+    max_idx = jnp.argmax(jnp.abs(Vt), axis=-1)  # (K, F)
     signs = jnp.sign(
-        jnp.take_along_axis(vt, max_idx[..., None], axis=-1)[..., 0]
-    )  # (K, F')
-    vt = vt * signs[:, :, None]
-    return means[:, 0, :], vt[:, :n_components, :]
+        jnp.take_along_axis(Vt, max_idx[..., None], axis=-1)[..., 0]
+    )
+    Vt = Vt * signs[:, :, None]
+    return means, Vt[:, :n_components, :]
+
+
+def _pca_fit_sklearn_exact(X: np.ndarray, n_components: int):
+    """Host PCA fit, bit-identical to sklearn 1.9's ``PCA.fit`` on the same
+    input (the reference fits real sklearn PCAs, eks/stats.py:52): replicate
+    the auto solver dispatch (``_pca.PCA._fit``) and the ``covariance_eigh``/
+    ``full`` branches of ``_fit_full``, in the input dtype."""
+    import scipy.linalg
+
+    X = np.asarray(X)
+    n, f = X.shape
+    mean = np.mean(X, axis=0)
+    if f <= 1_000 and n >= 10 * f:  # covariance_eigh
+        C = X.T @ X
+        C -= n * mean[:, None] * mean[None, :]
+        C /= n - 1
+        w, V = np.linalg.eigh(C)
+        V = np.flip(V, axis=1)
+        Vt = V.T
+    else:  # 'full' (the remaining branches never trigger at this library's shapes)
+        Xc = X - mean
+        _, _, Vt = scipy.linalg.svd(Xc, full_matrices=False)
+    # svd_flip(u_based_decision=False), in place so Vt keeps its memory
+    # layout — sklearn's components_ ends up F-ordered (a transposed eigh
+    # view copied with order='K'), and BLAS routes the transform GEMMs
+    # differently per layout, which shows up in the last float32 bit
+    anchor = np.argmax(np.abs(Vt), axis=1)
+    signs = np.sign(Vt[np.arange(Vt.shape[0]), anchor])
+    signs[signs == 0] = 1.0
+    Vt *= signs[:, None]
+    return mean, np.array(Vt[:n_components], copy=True, order="K")
 
 
 class PCA:
     """Minimal PCA with the sklearn attribute surface used by this library:
-    ``fit``, ``transform``, ``components_`` (L, F), ``mean_`` (F,)."""
+    ``fit``, ``transform``, ``components_`` (L, F), ``mean_`` (F,).
+
+    ``fit`` is bit-identical to sklearn's on the same input — the reference
+    pipeline fits sklearn PCAs and the parity goldens (true reference
+    outputs) are sensitive to the basis at f32 level."""
 
     def __init__(self, n_components: int):
         self.n_components = n_components
@@ -63,16 +107,19 @@ class PCA:
         self.mean_: np.ndarray | None = None
 
     def fit(self, X: np.ndarray) -> "PCA":
-        mean, comps = _pca_fit_batched(
-            jnp.asarray(X)[None], self.n_components
+        self.mean_, self.components_ = _pca_fit_sklearn_exact(
+            X, self.n_components
         )
-        self.mean_ = np.asarray(mean)[0]
-        self.components_ = np.asarray(comps)[0]
         return self
 
     def transform(self, X: np.ndarray) -> np.ndarray:
         assert self.components_ is not None, "PCA must be fit before transform."
-        return (np.asarray(X) - self.mean_) @ self.components_.T
+        # sklearn multiplies first, then subtracts the projected mean —
+        # different rounding from (X - mean) @ compᵀ, and the parity goldens
+        # see the difference
+        return np.asarray(X) @ self.components_.T - (
+            self.mean_[None, :] @ self.components_.T
+        )
 
 
 def compute_pca(
@@ -104,10 +151,15 @@ def compute_pca(
     X_all = _stacked_all_kp(emA_centered_preds)  # (K, T, 2C)
 
     if pca_object is None:
-        # one batched fit for all keypoints (equal n_good after truncation)
+        # per-keypoint host fits, bit-identical to the reference's sklearn
+        # fits (a K-loop of tiny (N, 2C) eigh problems — microseconds)
         X_good = _stacked_all_kp(emA_good_centered_preds)
-        means, comps = _pca_fit_batched(jnp.asarray(X_good), n_components)
-        means, comps = np.asarray(means), np.asarray(comps)
+        fits = [
+            _pca_fit_sklearn_exact(X_good[k], n_components)
+            for k in range(n_keypoints)
+        ]
+        means = np.stack([m for m, _ in fits])
+        comps = np.stack([c for _, c in fits])
     else:
         means = np.broadcast_to(pca_object.mean_, (n_keypoints, X_all.shape[-1]))
         comps = np.broadcast_to(
@@ -115,8 +167,15 @@ def compute_pca(
             (n_keypoints, *pca_object.components_.shape),
         )
 
-    # one batched transform for every keypoint and frame at once
-    pcs_all = np.einsum("ktf,klf->ktl", X_all - means[:, None, :], comps)
+    # per-keypoint GEMM transform with sklearn's exact algebra (multiply
+    # first, subtract the projected mean) so transformed values are
+    # bit-identical to the reference's ``pca.transform`` calls
+    pcs_all = np.stack(
+        [
+            X_all[k] @ comps[k].T - means[k][None, :] @ comps[k].T
+            for k in range(n_keypoints)
+        ]
+    )
 
     ensemble_pca, good_pcs_list = [], []
     for k in range(n_keypoints):

@@ -9,15 +9,33 @@ from eks_tpu.utils import center_predictions
 
 
 # ------------------------------ PCA ------------------------------ #
-def test_pca_matches_sklearn(rng):
+@pytest.mark.parametrize(
+    "shape", [(200, 6), (250, 4), (40, 6)]  # covariance_eigh x2, full
+)
+def test_pca_bit_identical_to_sklearn(rng, shape):
+    """fit AND transform must be bit-identical to sklearn's — the reference
+    fits real sklearn PCAs and the true-reference parity goldens see any
+    f32 basis difference amplified through the smoother."""
+    from sklearn.decomposition import PCA as SkPCA
+
+    n, f = shape
+    X = (rng.normal(size=(n, f)) @ rng.normal(size=(f, f))).astype(np.float32)
+    ours = PCA(3).fit(X)
+    sk = SkPCA(n_components=3).fit(X)
+    np.testing.assert_array_equal(ours.mean_, sk.mean_)
+    np.testing.assert_array_equal(ours.components_, sk.components_)
+    np.testing.assert_array_equal(ours.transform(X), sk.transform(X))
+
+
+def test_pca_bit_identical_to_sklearn_f64(rng):
     from sklearn.decomposition import PCA as SkPCA
 
     X = rng.normal(size=(200, 6)) @ rng.normal(size=(6, 6))
     ours = PCA(3).fit(X)
     sk = SkPCA(n_components=3).fit(X)
-    np.testing.assert_allclose(ours.mean_, sk.mean_, atol=1e-5)
-    np.testing.assert_allclose(ours.components_, sk.components_, atol=2e-4)
-    np.testing.assert_allclose(ours.transform(X), sk.transform(X), atol=1e-3)
+    np.testing.assert_array_equal(ours.mean_, sk.mean_)
+    np.testing.assert_array_equal(ours.components_, sk.components_)
+    np.testing.assert_array_equal(ours.transform(X), sk.transform(X))
 
 
 def test_compute_pca_shapes(rng):
