@@ -531,6 +531,52 @@ def run_pipeline(marker_arr, sequential: bool, safety_cap: int = SAFETY_CAP):
     return elapsed, s_finals
 
 
+def bench_sessions(rng, n_sessions=4):
+    """Multi-session batching probe: N headline-shaped sessions smoothed as
+    ONE stacked program (``ensemble_kalman_smoother_singlecam_sessions``
+    concatenates sessions along the keypoint axis) vs the same N sessions
+    run sequentially — the only mode the reference supports (one
+    ``fit_eks_singlecam`` invocation per session). The stacked run pays one
+    compile, one upload, one dispatch chain, one pull; per-session runs pay
+    all four N times, and the K=20 headline underfills the chip (the K=100
+    probe shows ~2x higher kp-frames/s at 5x the lanes)."""
+    from eks_tpu.marker_array import MarkerArray
+    from eks_tpu.models.singlecam import (
+        ensemble_kalman_smoother_singlecam,
+        ensemble_kalman_smoother_singlecam_sessions,
+    )
+
+    mas = [
+        MarkerArray(make_session(rng), data_fields=["x", "y", "likelihood"])
+        for _ in range(n_sessions)
+    ]
+    names = [[f"kp{i}" for i in range(K)] for _ in range(n_sessions)]
+
+    def sequential_once():
+        t0 = time.perf_counter()
+        for ma, ns in zip(mas, names):
+            ensemble_kalman_smoother_singlecam(ma, ns)
+        return time.perf_counter() - t0
+
+    def batched_once():
+        t0 = time.perf_counter()
+        ensemble_kalman_smoother_singlecam_sessions(mas, names)
+        return time.perf_counter() - t0
+
+    batched_once()  # compile the stacked (n_sessions*K)-lane program
+    t_batched = min(batched_once() for _ in range(2))
+    # the per-session K=20 program is already warm from the headline measure
+    t_seq = min(sequential_once() for _ in range(2))
+    agg = n_sessions * T * K
+    return {
+        "value": round(agg / t_batched, 1),
+        "unit": "kp-frames/s",
+        "n_sessions": n_sessions,
+        "vs_sequential": round(t_seq / t_batched, 2),
+        "sequential_kpframes_s": round(agg / t_seq, 1),
+    }
+
+
 def _timed_family(once, units):
     """Warm-up with optimizer-stats recording (the measured iteration count
     feeds the CPU-baseline slope extrapolation — identical iterates/stop
@@ -1594,6 +1640,16 @@ def main():
         entry["vs_baseline"] = round(fps / (FAMILY_UNITS[name] / base_s), 2)
         entry["baseline_cpu_s"] = round(base_s, 1)
         entry["baseline_method"] = method
+
+    # multi-session batching probe (a capability the reference lacks):
+    # 4 headline-shaped sessions as one stacked program vs 4 sequential runs
+    if time.perf_counter() < deadline - 90.0:
+        try:
+            RESULT["sessions4"] = bench_sessions(np.random.default_rng(2))
+        except Exception as e:
+            RESULT["sessions4"] = f"error: {type(e).__name__}"
+    else:
+        RESULT["sessions4"] = "pending"
 
     if time.perf_counter() < deadline - 30.0:
         try:

@@ -13,6 +13,7 @@ from eks_tpu.marker_array import MarkerArray
 __all__ = [
     "MarkerArray",
     "fit_eks_singlecam",
+    "fit_eks_singlecam_sessions",
     "fit_eks_multicam",
     "fit_eks_mirrored_multicam",
     "fit_eks_pupil",
@@ -40,6 +41,10 @@ def __getattr__(name: str) -> Any:
         from eks_tpu.models.singlecam import fit_eks_singlecam
 
         return fit_eks_singlecam
+    if name == "fit_eks_singlecam_sessions":
+        from eks_tpu.models.singlecam import fit_eks_singlecam_sessions
+
+        return fit_eks_singlecam_sessions
     if name == "fit_eks_multicam":
         from eks_tpu.models.multicam import fit_eks_multicam
 

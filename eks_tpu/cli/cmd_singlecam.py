@@ -13,7 +13,7 @@ from eks_tpu.cli._utils import (
     handle_io,
     plot_results,
 )
-from eks_tpu.models.singlecam import fit_eks_singlecam
+from eks_tpu.models.singlecam import fit_eks_singlecam, fit_eks_singlecam_sessions
 
 
 def register(subparsers: argparse._SubParsersAction) -> None:
@@ -25,10 +25,24 @@ def register(subparsers: argparse._SubParsersAction) -> None:
     add_bodyparts(parser)
     add_s(parser)
     add_devices(parser)
+    parser.add_argument(
+        "--sessions",
+        nargs="+",
+        default=None,
+        metavar="DIR",
+        help="several session input directories smoothed together as one "
+        "batched device program (one output CSV per session, named "
+        "eks_singlecam_<dirname>.csv); equal-length sessions share a single "
+        "compile/upload/dispatch — a batching mode the reference lacks",
+    )
     parser.set_defaults(handler=cmd_singlecam)
 
 
 def cmd_singlecam(args: argparse.Namespace) -> None:
+    if args.sessions is not None:
+        _cmd_singlecam_sessions(args)
+        return
+
     input_source = args.input_dir if args.input_dir is not None else args.input_files
     if isinstance(input_source, str):
         input_dir = Path(input_source).resolve()
@@ -50,6 +64,42 @@ def cmd_singlecam(args: argparse.Namespace) -> None:
     )
 
     if args.make_plot:
+        plot_results(
+            output_df=output_df,
+            input_dfs_list=input_dfs,
+            key=f"{bodypart_list[-1]}",
+            idxs=(0, 500),
+            s_final=s_finals[-1],
+            nll_values=None,
+            save_dir=str(save_dir),
+            smoother_type="singlecam",
+        )
+
+
+def _cmd_singlecam_sessions(args: argparse.Namespace) -> None:
+    session_dirs = [Path(d).resolve() for d in args.sessions]
+    save_dir = handle_io(session_dirs[0], args.save_dir)
+    save_files = [
+        str(save_dir / f"eks_singlecam_{d.name}.csv") for d in session_dirs
+    ]
+
+    # the CLI's --blocks / --s settings apply to every session (sessions in
+    # one batch share a keypoint layout)
+    blocks = [args.blocks] * len(session_dirs) if args.blocks else None
+    smooth_param = [args.s] * len(session_dirs) if args.s is not None else None
+    results = fit_eks_singlecam_sessions(
+        input_sources=[str(d) for d in session_dirs],
+        save_files=save_files,
+        bodypart_list=args.bodypart_list,
+        smooth_param=smooth_param,
+        s_frames=args.s_frames,
+        blocks=blocks,
+        devices=args.devices,
+        partition=args.partition,
+    )
+
+    if args.make_plot:
+        output_df, s_finals, input_dfs, bodypart_list = results[-1]
         plot_results(
             output_df=output_df,
             input_dfs_list=input_dfs,

@@ -30,7 +30,9 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "fit_eks_singlecam",
+    "fit_eks_singlecam_sessions",
     "ensemble_kalman_smoother_singlecam",
+    "ensemble_kalman_smoother_singlecam_sessions",
     "initialize_kalman_filter",
 ]
 
@@ -104,6 +106,238 @@ def fit_eks_singlecam(
     save_dlc_csv(df_smoothed, save_file)
     logger.info("results packaged into output CSV frames")
     return df_smoothed, s_finals, input_dfs_list, bodypart_list
+
+
+def fit_eks_singlecam_sessions(
+    input_sources: list,
+    save_files: list,
+    bodypart_list: list | None = None,
+    smooth_param: float | list | None = None,
+    s_frames: list | None = None,
+    blocks: list | None = None,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
+) -> list[tuple]:
+    """Smooth SEVERAL sessions in one batched device program.
+
+    Each session is an independent recording (its own ensemble CSV set);
+    per-keypoint independence means sessions stack as extra lanes of the one
+    jitted optimizer/smoother — one upload, one compile, one pull, instead of
+    per-session dispatch over the (slow) host-device link. The reference
+    processes sessions strictly one at a time (eks/cli/cmd_singlecam.py runs
+    one ``fit_eks_singlecam`` per invocation); batching across sessions is a
+    capability it does not have.
+
+    Args:
+        input_sources: one input source (directory or CSV list) per session.
+        save_files: one output CSV path per session.
+        bodypart_list: keypoints to smooth, shared across sessions;
+            default = each session's own detected keypoints.
+        smooth_param: fixed ``s`` — scalar (all sessions) or a per-session
+            list of scalars/lists.
+        blocks: per-session block structure (list of block lists), or None.
+        Other args as in :func:`fit_eks_singlecam`.
+
+    Returns:
+        list of (df_smoothed, s_finals, input_dfs_list, bodypart_list),
+        one per session.
+    """
+    n_sessions = len(input_sources)
+    assert len(save_files) == n_sessions, "one save_file per session"
+
+    marker_arrays, names_per_session, dfs_per_session = [], [], []
+    for src in input_sources:
+        input_dfs_list, keypoint_names = format_data(src)
+        names = bodypart_list if bodypart_list is not None else keypoint_names
+        marker_arrays.append(
+            input_dfs_to_markerArray([input_dfs_list], names, [""])
+        )
+        names_per_session.append(names)
+        dfs_per_session.append(input_dfs_list)
+
+    results = ensemble_kalman_smoother_singlecam_sessions(
+        marker_arrays=marker_arrays,
+        keypoint_names=names_per_session,
+        smooth_param=smooth_param,
+        s_frames=s_frames,
+        blocks=blocks,
+        avg_mode=avg_mode,
+        var_mode=var_mode,
+        devices=devices,
+        partition=partition,
+    )
+
+    out = []
+    for (df_smoothed, s_finals), save_file, dfs, names in zip(
+        results, save_files, dfs_per_session, names_per_session
+    ):
+        save_dir = os.path.dirname(save_file)
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+        save_dlc_csv(df_smoothed, save_file)
+        out.append((df_smoothed, s_finals, dfs, names))
+    return out
+
+
+def ensemble_kalman_smoother_singlecam_sessions(
+    marker_arrays: list,
+    keypoint_names: list,
+    smooth_param: float | list | None = None,
+    s_frames: list | None = None,
+    blocks: list | None = None,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
+    prep: Literal["host", "device"] = "host",
+) -> list[tuple]:
+    """Array-level multi-session single-camera smoother.
+
+    Sessions with equal frame counts and equal ensemble sizes are
+    concatenated along the keypoint axis and smoothed as ONE batched
+    program — equivalent to per-session runs because every stage
+    (ensemble stats, centering, KF init, the per-block s-optimizer, the
+    smoother) is independent per keypoint lane. (Equivalent to f32
+    reduction-order ulp: XLA may tile reductions differently at different
+    batch widths, which can perturb auto-tuned ``s`` in the last float32
+    bit.) Sessions with mismatched shapes fall back to sequential
+    :func:`ensemble_kalman_smoother_singlecam` calls.
+
+    Args:
+        marker_arrays: one (M, 1, T, K_s, 3) MarkerArray per session.
+        keypoint_names: per-session keypoint-name lists.
+        smooth_param: scalar (broadcast) or per-session list.
+        blocks: per-session lists of keypoint-index blocks, or None.
+
+    Returns:
+        list of (markers_df, s_finals) per session.
+    """
+    n_sessions = len(marker_arrays)
+    assert len(keypoint_names) == n_sessions, "one name list per session"
+    per_session_param = isinstance(smooth_param, (list, tuple))
+    if per_session_param:
+        assert len(smooth_param) == n_sessions, (
+            "per-session smooth_param list must match the session count"
+        )
+    if blocks is not None and len(blocks) > 0:
+        assert len(blocks) == n_sessions, "one block list per session"
+
+    shapes = {ma.shape[:3] for ma in marker_arrays}
+    if len(shapes) > 1 or n_sessions == 1:
+        if len(shapes) > 1:
+            logger.info(
+                "sessions differ in (models, frames) shape; falling back to "
+                "sequential per-session smoothing"
+            )
+        return [
+            ensemble_kalman_smoother_singlecam(
+                marker_array=ma,
+                keypoint_names=names,
+                smooth_param=(smooth_param[i] if per_session_param else smooth_param),
+                s_frames=s_frames,
+                blocks=(blocks[i] if blocks else []),
+                avg_mode=avg_mode,
+                var_mode=var_mode,
+                devices=devices,
+                partition=partition,
+                prep=prep,
+            )
+            for i, (ma, names) in enumerate(zip(marker_arrays, keypoint_names))
+        ]
+
+    # stack sessions along the keypoint axis: (M, 1, T, sum(K_s), 3)
+    k_counts = [ma.shape[3] for ma in marker_arrays]
+    offsets = np.concatenate([[0], np.cumsum(k_counts)])
+    stacked = MarkerArray(
+        np.concatenate([np.asarray(ma.array) for ma in marker_arrays], axis=3),
+        data_fields=list(marker_arrays[0].data_fields),
+    )
+
+    # per-session block structures shift by each session's keypoint offset;
+    # once ANY session declares blocks, block-less sessions contribute
+    # singletons (optimize_smooth_param treats an empty list as
+    # "one block per keypoint" globally, so partial coverage must be filled
+    # explicitly or unlisted lanes would never be optimized)
+    merged_blocks: list = []
+    if blocks and any(blocks):
+        for i, session_blocks in enumerate(blocks):
+            if session_blocks:
+                for b in session_blocks:
+                    merged_blocks.append([int(offsets[i]) + k for k in b])
+            else:
+                merged_blocks.extend(
+                    [[int(offsets[i]) + k] for k in range(k_counts[i])]
+                )
+
+    # scalar smooth_param broadcasts; per-session entries expand per keypoint
+    merged_param: float | list | None = smooth_param
+    if per_session_param:
+        merged_param = []
+        for i, p in enumerate(smooth_param):
+            if p is None:
+                # mixed fixed/auto sessions would need a partial optimizer
+                # run; keep semantics simple and fall back
+                logger.info(
+                    "mixed fixed/auto smooth_param across sessions; falling "
+                    "back to sequential per-session smoothing"
+                )
+                return [
+                    ensemble_kalman_smoother_singlecam(
+                        marker_array=ma,
+                        keypoint_names=names,
+                        smooth_param=smooth_param[j],
+                        s_frames=s_frames,
+                        blocks=(blocks[j] if blocks else []),
+                        avg_mode=avg_mode,
+                        var_mode=var_mode,
+                        devices=devices,
+                        partition=partition,
+                        prep=prep,
+                    )
+                    for j, (ma, names) in enumerate(
+                        zip(marker_arrays, keypoint_names)
+                    )
+                ]
+            if isinstance(p, (list, tuple, np.ndarray)):
+                vals = [float(v) for v in p]
+                if len(vals) == 1:  # length-1 lists broadcast, like the core
+                    merged_param.extend(vals * k_counts[i])
+                else:
+                    assert len(vals) == k_counts[i], (
+                        f"session {i}: smooth_param list must have one entry "
+                        f"per keypoint ({k_counts[i]}), got {len(vals)}"
+                    )
+                    merged_param.extend(vals)
+            else:
+                merged_param.extend([float(p)] * k_counts[i])
+
+    # flat positional names keep duplicate cross-session keypoints distinct
+    # in the merged frame; outputs are re-labeled per session below
+    flat_names = [f"s{i}_{n}" for i, ns in enumerate(keypoint_names) for n in ns]
+    merged_df, s_all = ensemble_kalman_smoother_singlecam(
+        marker_array=stacked,
+        keypoint_names=flat_names,
+        smooth_param=merged_param,
+        s_frames=s_frames,
+        blocks=merged_blocks,
+        avg_mode=avg_mode,
+        var_mode=var_mode,
+        devices=devices,
+        partition=partition,
+        prep=prep,
+    )
+
+    n_labels = len(OUTPUT_LABELS)
+    results = []
+    s_all = np.asarray(s_all)
+    for i, names in enumerate(keypoint_names):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        sub = merged_df.iloc[:, lo * n_labels: hi * n_labels].copy()
+        sub.columns = make_dlc_pandas_index(names, labels=OUTPUT_LABELS)
+        results.append((sub, s_all[lo:hi]))
+    return results
 
 
 def ensemble_kalman_smoother_singlecam(

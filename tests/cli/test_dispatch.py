@@ -170,3 +170,30 @@ def test_cmd_ibl_paw_forwards_args(tmp_path):
     assert seen["inflate_vars"] is False
     assert seen["var_mode"] == "var"  # paw family pins plain variance
     assert seen["devices"] == 4
+
+
+def test_cmd_singlecam_sessions_forwards_args(tmp_path):
+    d1 = tmp_path / "sessA"
+    d2 = tmp_path / "sessB"
+    d1.mkdir(); d2.mkdir()
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_singlecam.fit_eks_singlecam_sessions",
+        [(DF, [1.0], [], ["bp"]), (DF, [1.0], [], ["bp"])],
+    )
+    with patcher:
+        _run([
+            "singlecam",
+            "--sessions", str(d1), str(d2),
+            "--save-dir", str(tmp_path),
+            "--s", "2.0",
+            "--blocks", "0,1",
+            "--bodypart-list", "nose", "paw",
+        ])
+    assert seen["input_sources"] == [str(d1), str(d2)]
+    assert seen["save_files"] == [
+        str(tmp_path / "eks_singlecam_sessA.csv"),
+        str(tmp_path / "eks_singlecam_sessB.csv"),
+    ]
+    assert seen["smooth_param"] == [[2.0], [2.0]]
+    assert seen["blocks"] == [[[0, 1]], [[0, 1]]]
+    assert seen["bodypart_list"] == ["nose", "paw"]

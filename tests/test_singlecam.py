@@ -91,3 +91,114 @@ def test_fit_eks_singlecam_e2e(tmp_path):
     reread = pd.read_csv(save_file, header=[0, 1, 2], index_col=0)
     assert reread.shape == df.shape == (2000, 4 * 9)
     np.testing.assert_allclose(reread.to_numpy(), df.to_numpy(), rtol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# multi-session batching
+# --------------------------------------------------------------------------- #
+def test_sessions_batched_matches_sequential(rng):
+    """Equal-shape sessions stack as keypoint lanes; outputs must be
+    bit-identical to independent per-session runs (every pipeline stage is
+    per-keypoint independent)."""
+    from eks_tpu.models.singlecam import (
+        ensemble_kalman_smoother_singlecam_sessions,
+    )
+
+    mas = [make_marker_array(rng, M=4, T=90, K=k) for k in (2, 3)]
+    names = [KPS[:2], KPS[:3]]
+    batched = ensemble_kalman_smoother_singlecam_sessions(
+        mas, names, smooth_param=None
+    )
+    for (df_b, s_b), ma, ns in zip(batched, mas, names):
+        df_s, s_s = ensemble_kalman_smoother_singlecam(ma, ns, smooth_param=None)
+        # equivalent to f32 reduction ulp: batch width can change XLA's
+        # reduction tiling, perturbing the Adam trajectory in the last bit
+        np.testing.assert_allclose(
+            np.asarray(s_b), np.asarray(s_s), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            df_b.to_numpy(), df_s.to_numpy(), rtol=1e-4, atol=1e-4
+        )
+        assert list(df_b.columns) == list(df_s.columns)
+
+
+def test_sessions_unequal_shapes_fall_back(rng):
+    from eks_tpu.models.singlecam import (
+        ensemble_kalman_smoother_singlecam_sessions,
+    )
+
+    mas = [
+        make_marker_array(rng, M=4, T=60, K=2),
+        make_marker_array(rng, M=4, T=80, K=2),
+    ]
+    results = ensemble_kalman_smoother_singlecam_sessions(
+        mas, [KPS[:2], KPS[:2]], smooth_param=1.5
+    )
+    assert len(results) == 2
+    assert results[0][0].shape[0] == 60 and results[1][0].shape[0] == 80
+    for _, s in results:
+        np.testing.assert_array_equal(np.asarray(s), [1.5, 1.5])
+
+
+def test_sessions_per_session_params_and_blocks(rng):
+    """Per-session smooth_param lists and block structures shift correctly
+    into the merged lane space."""
+    from eks_tpu.models.singlecam import (
+        ensemble_kalman_smoother_singlecam_sessions,
+    )
+
+    mas = [make_marker_array(rng, M=4, T=70, K=2) for _ in range(2)]
+    names = [KPS[:2]] * 2
+    results = ensemble_kalman_smoother_singlecam_sessions(
+        mas, names, smooth_param=[2.0, [1.0, 3.0]]
+    )
+    np.testing.assert_array_equal(np.asarray(results[0][1]), [2.0, 2.0])
+    np.testing.assert_array_equal(np.asarray(results[1][1]), [1.0, 3.0])
+
+    # blocks: session 1's [0, 1] block must share one s, independent of
+    # session 0's singleton lanes
+    blocked = ensemble_kalman_smoother_singlecam_sessions(
+        mas, names, smooth_param=None, blocks=[None, [[0, 1]]]
+    )
+    s1 = np.asarray(blocked[1][1])
+    assert s1[0] == s1[1]
+    seq = ensemble_kalman_smoother_singlecam(
+        mas[1], names[1], smooth_param=None, blocks=[[0, 1]]
+    )
+    np.testing.assert_allclose(s1, np.asarray(seq[1]), rtol=1e-5)
+    # session 0 declared no blocks: its lanes must still be optimized
+    s0 = np.asarray(blocked[0][1])
+    assert np.isfinite(s0).all() and (s0 > 0).all()
+
+
+def test_fit_eks_singlecam_sessions_e2e(tmp_path, rng):
+    """File-level wrapper: per-session CSVs in, per-session CSVs out."""
+    from eks_tpu.models.singlecam import fit_eks_singlecam_sessions
+    from eks_tpu.utils import make_dlc_pandas_index
+
+    sources, saves = [], []
+    for s in range(2):
+        d = tmp_path / f"session{s}"
+        d.mkdir()
+        for m in range(3):
+            arr = rng.normal(size=(50, 2 * 3)) + 40
+            cols = make_dlc_pandas_index(KPS[:2], labels=["x", "y", "likelihood"])
+            df = pd.DataFrame(
+                np.concatenate(
+                    [arr, rng.uniform(0.8, 1.0, size=(50, 2))], axis=1
+                )[:, [0, 1, 4, 2, 3, 5]],
+                columns=cols,
+            )
+            df.to_csv(d / f"seed{m}.csv")
+        sources.append(str(d))
+        saves.append(str(tmp_path / f"out{s}.csv"))
+
+    results = fit_eks_singlecam_sessions(sources, saves, smooth_param=2.0)
+    assert len(results) == 2
+    for (df, s_finals, input_dfs, names), save in zip(results, saves):
+        import os
+
+        assert os.path.exists(save)
+        assert df.shape == (50, 2 * 9)
+        assert len(input_dfs) == 3 and len(names) == 2
+        np.testing.assert_array_equal(np.asarray(s_finals), [2.0, 2.0])
