@@ -17,6 +17,7 @@ __all__ = [
     "fit_eks_multicam",
     "fit_eks_mirrored_multicam",
     "fit_eks_pupil",
+    "fit_eks_pupil_sessions",
     "fit_eks_multicam_ibl_paw",
 ]
 
@@ -57,6 +58,10 @@ def __getattr__(name: str) -> Any:
         from eks_tpu.models.ibl_pupil import fit_eks_pupil
 
         return fit_eks_pupil
+    if name == "fit_eks_pupil_sessions":
+        from eks_tpu.models.ibl_pupil import fit_eks_pupil_sessions
+
+        return fit_eks_pupil_sessions
     if name == "fit_eks_multicam_ibl_paw":
         from eks_tpu.models.ibl_paw import fit_eks_multicam_ibl_paw
 

@@ -13,7 +13,7 @@ from eks_tpu.cli._utils import (
     handle_io,
     plot_results,
 )
-from eks_tpu.models.ibl_pupil import fit_eks_pupil
+from eks_tpu.models.ibl_pupil import fit_eks_pupil, fit_eks_pupil_sessions
 
 
 def register(subparsers: argparse._SubParsersAction) -> None:
@@ -25,10 +25,25 @@ def register(subparsers: argparse._SubParsersAction) -> None:
     add_diameter_s(parser)
     add_com_s(parser)
     add_devices(parser)
+    parser.add_argument(
+        "--sessions",
+        nargs="+",
+        default=None,
+        metavar="DIR",
+        help="several session input directories smoothed together as one "
+        "batched device program (one output CSV per session, named "
+        "eks_ibl_pupil_<dirname>.csv); the single-lane pupil model "
+        "underfills an accelerator, so equal-length sessions sharing one "
+        "joint optimizer loop is the throughput mode for session fleets",
+    )
     parser.set_defaults(handler=cmd_ibl_pupil)
 
 
 def cmd_ibl_pupil(args: argparse.Namespace) -> None:
+    if args.sessions is not None:
+        _cmd_ibl_pupil_sessions(args)
+        return
+
     input_source = args.input_dir if args.input_dir is not None else args.input_files
     if isinstance(input_source, str):
         input_dir = Path(input_source).resolve()
@@ -54,6 +69,38 @@ def cmd_ibl_pupil(args: argparse.Namespace) -> None:
             key=f"{keypoint_names[-1]}",
             idxs=(0, 500),
             s_final=(smooth_params[0], smooth_params[1]),
+            nll_values=None,
+            save_dir=str(save_dir),
+            smoother_type="ibl_pupil",
+        )
+
+
+def _cmd_ibl_pupil_sessions(args: argparse.Namespace) -> None:
+    session_dirs = [Path(d).resolve() for d in args.sessions]
+    save_dir = handle_io(session_dirs[0], args.save_dir)
+    save_files = [
+        str(save_dir / f"eks_ibl_pupil_{d.name}.csv") for d in session_dirs
+    ]
+
+    smooth_params = None
+    if args.diameter_s is not None or args.com_s is not None:
+        smooth_params = [args.diameter_s, args.com_s]
+
+    results = fit_eks_pupil_sessions(
+        input_sources=[str(d) for d in session_dirs],
+        save_files=save_files,
+        smooth_params=smooth_params,
+        s_frames=args.s_frames,
+    )
+
+    if args.make_plot:
+        df_smoothed, smooth_params_final, input_dfs_list, keypoint_names = results[-1]
+        plot_results(
+            output_df=df_smoothed,
+            input_dfs_list=input_dfs_list,
+            key=f"{keypoint_names[-1]}",
+            idxs=(0, 500),
+            s_final=(smooth_params_final[0], smooth_params_final[1]),
             nll_values=None,
             save_dir=str(save_dir),
             smoother_type="ibl_pupil",

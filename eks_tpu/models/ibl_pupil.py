@@ -54,7 +54,9 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "fit_eks_pupil",
+    "fit_eks_pupil_sessions",
     "ensemble_kalman_smoother_ibl_pupil",
+    "ensemble_kalman_smoother_ibl_pupil_sessions",
     "get_pupil_location",
     "get_pupil_diameter",
     "add_mean_to_array",
@@ -186,11 +188,53 @@ def ensemble_kalman_smoother_ibl_pupil(
     var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
     devices: int | None = None,
     partition: Literal["keypoint", "time"] = "keypoint",
+    lr: float = 5e-3,
+    tol: float = 1e-6,
+    safety_cap: int = 5000,
 ) -> tuple:
     """Array-level pupil smoother; returns (markers_df, [s_diam, s_com]).
     ``devices`` > 1 shards the frame axis over a 1-D mesh (the pupil model's
     only shardable axis — see :func:`fit_eks_pupil`)."""
-    _, _, n_frames, n_keypoints, _ = marker_array.shape
+    prep = _pupil_prep(marker_array, keypoint_names, avg_mode, var_mode)
+    (ensemble_preds, ensemble_vars, ensemble_likes, y_obs, m0, S0,
+     mean_x_obs, mean_y_obs, diameters_var, x_var, y_var) = prep
+
+    s_finals, ms, Vs = run_pupil_kalman_smoother(
+        ys=y_obs,  # host array: cropping happens host-side, upload once
+        m0=jnp.asarray(m0),
+        S0=jnp.asarray(S0),
+        C=jnp.asarray(PUPIL_C),
+        ensemble_vars=ensemble_vars,
+        diameters_var=diameters_var,
+        x_var=x_var,
+        y_var=y_var,
+        s_frames=s_frames,
+        smooth_params=smooth_params,
+        lr=lr,
+        tol=tol,
+        safety_cap=safety_cap,
+        devices=devices,
+    )
+    logger.debug(f"tuned pupil params: diameter_s={s_finals[0]}, com_s={s_finals[1]}")
+
+    markers_df = _pupil_package(
+        keypoint_names, ms, Vs, ensemble_preds, ensemble_vars, ensemble_likes,
+        mean_x_obs, mean_y_obs,
+    )
+    return markers_df, s_finals
+
+
+def _pupil_prep(
+    marker_array: MarkerArray,
+    keypoint_names: list,
+    avg_mode: str,
+    var_mode: str,
+) -> tuple:
+    """Host-side prep shared by the single-session and sessions-batched
+    paths: ensemble stats, diameter/COM estimators, KF init, COM-centered
+    observations. Returns (ensemble_preds, ensemble_vars, ensemble_likes,
+    y_obs, m0, S0, mean_x_obs, mean_y_obs, diameters_var, x_var, y_var)."""
+    _, _, n_frames, _, _ = marker_array.shape
     keys = [f"{kp}_{coord}" for kp in keypoint_names for coord in ["x", "y"]]
 
     # host-backend ensemble: every consumer below is host-side (diameter/COM
@@ -220,21 +264,27 @@ def ensemble_kalman_smoother_ibl_pupil(
     y_obs[:, 0::2] -= mean_x_obs
     y_obs[:, 1::2] -= mean_y_obs
 
-    s_finals, ms, Vs = run_pupil_kalman_smoother(
-        ys=y_obs,  # host array: cropping happens host-side, upload once
-        m0=jnp.asarray(m0),
-        S0=jnp.asarray(S0),
-        C=jnp.asarray(PUPIL_C),
-        ensemble_vars=ensemble_vars,
-        diameters_var=float(np.var(pupil_diameters)),
-        x_var=float(np.var(x_t_obs)),
-        y_var=float(np.var(y_t_obs)),
-        s_frames=s_frames,
-        smooth_params=smooth_params,
-        devices=devices,
+    return (
+        ensemble_preds, ensemble_vars, ensemble_likes, y_obs, m0, S0,
+        mean_x_obs, mean_y_obs,
+        float(np.var(pupil_diameters)), float(np.var(x_t_obs)),
+        float(np.var(y_t_obs)),
     )
-    logger.debug(f"tuned pupil params: diameter_s={s_finals[0]}, com_s={s_finals[1]}")
 
+
+def _pupil_package(
+    keypoint_names: list,
+    ms: np.ndarray,
+    Vs: np.ndarray,
+    ensemble_preds: np.ndarray,
+    ensemble_vars: np.ndarray,
+    ensemble_likes: np.ndarray,
+    mean_x_obs: float,
+    mean_y_obs: float,
+) -> pd.DataFrame:
+    """Host-side output packaging (all reference quirks preserved — see the
+    module docstring)."""
+    keys = [f"{kp}_{coord}" for kp in keypoint_names for coord in ["x", "y"]]
     y_m_smooth = ms @ PUPIL_C.T  # (T, 8)
     y_v_smooth = np.einsum("ij,tjl,ml->tim", PUPIL_C, Vs, PUPIL_C)  # (T, 8, 8)
 
@@ -275,8 +325,7 @@ def ensemble_kalman_smoother_ibl_pupil(
         )
 
     pdindex = make_dlc_pandas_index(keypoint_names, labels=labels)
-    markers_df = pd.DataFrame(np.asarray(data_arr).T, columns=pdindex)
-    return markers_df, s_finals
+    return pd.DataFrame(np.asarray(data_arr).T, columns=pdindex)
 
 
 # --------------------------------------------------------------------------- #
@@ -566,3 +615,360 @@ def _pupil_smooth_jit(ys, m0, S0, C, r, s_d, s_c, diameters_var, x_var, y_var,
     else:
         res = kalman_smoother_parallel(ys, m0, S0, A, Q, C, r)
     return res.smoothed_means, res.smoothed_covs
+
+
+# --------------------------------------------------------------------------- #
+# multi-session batching: N sessions as lanes of one device program
+# --------------------------------------------------------------------------- #
+@partial(jax.jit, static_argnames=("lr", "tol", "safety_cap", "plane", "fused"))
+@highest_precision
+def _pupil_optimize_sessions_jit(
+    y_loss, r_loss, m0, S0, C, u0,
+    diameters_var, x_var, y_var,
+    lr: float, tol: float, safety_cap: int,
+    plane: bool = False,
+    fused: bool = False,
+):
+    """Joint Adam loop over N sessions' 2-parameter pupil optimizers.
+
+    Every array carries a leading session axis (y/r: (N, T, 8); m0: (N, 3);
+    S0: (N, 3, 3); u0: (N, 2); the variance scales: (N,)); ``C`` is the
+    shared 8x3 geometry. Per-lane convergence replicates
+    ``vmap(lax.while_loop)`` batching semantics: a session whose stop rule
+    fires freezes its params/optimizer state/loss while the others continue
+    (masked selects, the same device-side pattern as
+    ``core._optimize_blocks_joint``). With ``fused`` the loss+grad of ALL
+    sessions ride ONE lane-batched fused TV-R kernel call — 2 jvp lanes per
+    session (ops/pallas_nll.py::filter_nll_fused_tv_batched); otherwise each
+    session evaluates the plane/AoS loss under vmap."""
+    eps = 1e-3
+    N = y_loss.shape[0]
+
+    def to_s(u):
+        return jax.nn.sigmoid(u) * (1.0 - 2 * eps) + eps
+
+    def nll_one(u, y_s, r_s, m0_s, S0_s, dv, xv, yv):
+        s = to_s(u)
+        A, Q = _pupil_model(s[0], s[1], dv, xv, yv)
+        if plane:
+            v = -filter_nll_parallel_planes_tv(y_s, m0_s, S0_s, A, Q, C, r_s)
+        else:
+            v = -kalman_filter_parallel(
+                y_s, m0_s, S0_s, A, Q, C, r_s
+            ).log_likelihood
+        return jnp.where(jnp.isfinite(v), v, 1e12)
+
+    if fused:
+        from eks_tpu.ops.pallas_nll import filter_nll_fused_tv_batched
+
+        interp = jax.default_backend() != "tpu"
+        rep2 = lambda a: jnp.repeat(a, 2, axis=0)  # (N, ...) -> (2N, ...)
+        y2, r2 = rep2(y_loss), rep2(r_loss)
+        m02, S02 = rep2(m0), rep2(S0)
+        C2 = jnp.broadcast_to(C[None], (2 * N,) + C.shape)
+        dv2, xv2, yv2 = rep2(diameters_var), rep2(x_var), rep2(y_var)
+        # per-session unit tangents: lanes (2i, 2i+1) carry session i's
+        # d/du_0 and d/du_1 directions
+        tang = jnp.tile(jnp.eye(2, dtype=u0.dtype), (N, 1))  # (2N, 2)
+
+        def nll_many(U):  # (2N, 2): one parameter copy per kernel lane
+            s2 = jax.nn.sigmoid(U) * (1.0 - 2 * eps) + eps
+            A2, Q2 = jax.vmap(
+                lambda s, dv, xv, yv: _pupil_model(s[0], s[1], dv, xv, yv)
+            )(s2, dv2, xv2, yv2)
+            lls = filter_nll_fused_tv_batched(
+                y2, m02, S02, A2, Q2, C2, r2, interpret=interp
+            )
+            return jnp.where(jnp.isfinite(-lls), -lls, 1e12)
+
+        def loss_and_grad(u):  # (N, 2) -> losses (N,), grads (N, 2)
+            U = jnp.repeat(u, 2, axis=0)
+            losses, dirs = jax.jvp(nll_many, (U,), (tang,))
+            return losses[0::2], dirs.reshape(N, 2)
+    else:
+
+        def loss_and_grad(u):
+            def one(u_s, y_s, r_s, m0_s, S0_s, dv, xv, yv):
+                f = lambda uu: nll_one(uu, y_s, r_s, m0_s, S0_s, dv, xv, yv)
+                tangents = jnp.eye(2, dtype=u.dtype)
+                losses, grads = jax.vmap(lambda t: jax.jvp(f, (u_s,), (t,)))(
+                    tangents
+                )
+                return losses[0], grads
+
+            return jax.vmap(one)(
+                u, y_loss, r_loss, m0, S0, diameters_var, x_var, y_var
+            )
+
+    opt = optax.adam(lr)
+    opt_state0 = jax.vmap(opt.init)(u0)
+
+    def _mask(done, new, old):
+        m = done.reshape((N,) + (1,) * (new.ndim - 1))
+        return jnp.where(m, old, new)
+
+    def cond(carry):
+        _, _, _, iters, done = carry
+        return jnp.logical_and(~jnp.all(done), iters < safety_cap)
+
+    def body(carry):
+        u, opt_state, prev_loss, iters, done = carry
+        loss, grad = loss_and_grad(u)
+        updates, opt_state_new = jax.vmap(opt.update)(grad, opt_state)
+        u_new = optax.apply_updates(u, updates)
+        rel_tol = tol * jnp.abs(jnp.log(jnp.maximum(prev_loss, 1e-12)))
+        newly_done = jnp.where(
+            jnp.isfinite(prev_loss),
+            jnp.abs(loss - prev_loss) < (rel_tol + 1e-6),
+            False,
+        )
+        # lanes already done freeze (their stop-iteration state is final)
+        u = _mask(done, u_new, u)
+        opt_state = jax.tree_util.tree_map(
+            lambda n, o: _mask(done, n, o), opt_state_new, opt_state
+        )
+        loss = jnp.where(done, prev_loss, loss)
+        done = jnp.logical_or(done, newly_done)
+        return (u, opt_state, loss, iters + 1, done)
+
+    u_f, _, last_loss, iters_f, _ = lax.while_loop(
+        cond, body,
+        (
+            u0, opt_state0, jnp.full((N,), jnp.inf, dtype=u0.dtype),
+            jnp.array(0), jnp.zeros((N,), dtype=bool),
+        ),
+    )
+    return to_s(u_f), last_loss, iters_f
+
+
+@partial(jax.jit, static_argnames=("sequential",))
+@highest_precision
+def _pupil_smooth_sessions_jit(
+    ys, m0, S0, C, r, s_d, s_c, diameters_var, x_var, y_var,
+    sequential: bool = False,
+):
+    """Final smoothing for N sessions in one program: vmap of the
+    single-session smoother over the leading session axis (s_d/s_c and the
+    variance scales are (N,))."""
+
+    def one(ys_s, m0_s, S0_s, r_s, sd, sc, dv, xv, yv):
+        A, Q = _pupil_model(sd, sc, dv, xv, yv)
+        if sequential:
+            from eks_tpu.ops.kalman import kalman_smoother
+
+            res = kalman_smoother(ys_s, m0_s, S0_s, A, Q, C=C, r_diag=r_s)
+        else:
+            res = kalman_smoother_parallel(ys_s, m0_s, S0_s, A, Q, C, r_s)
+        return res.smoothed_means, res.smoothed_covs
+
+    return jax.vmap(one)(ys, m0, S0, r, s_d, s_c, diameters_var, x_var, y_var)
+
+
+def ensemble_kalman_smoother_ibl_pupil_sessions(
+    marker_arrays: list,
+    keypoint_names: list | None = None,
+    smooth_params: list | None = None,
+    s_frames: list | None = None,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    lr: float = 5e-3,
+    tol: float = 1e-6,
+    safety_cap: int = 5000,
+) -> list[tuple]:
+    """Smooth N pupil sessions as ONE batched device program.
+
+    The pupil model is a single 3-state lane per session, so one session
+    badly underfills an accelerator and the optimizer's ~2,700 Adam
+    iterations are dispatch-latency-bound; stacking sessions as lanes
+    amortizes the whole loop across all of them (a throughput mode the
+    reference, which processes one session per invocation, does not have —
+    the IBL workload this family exists for is thousands of such sessions).
+    Host prep and output packaging stay per-session and identical to
+    :func:`ensemble_kalman_smoother_ibl_pupil`; sessions with unequal frame
+    counts fall back to sequential runs.
+
+    Args:
+        marker_arrays: one (M, 1, T, 4, 3) MarkerArray per session.
+        smooth_params: None (tune every session), a single [s_diam, s_com]
+            applied to all sessions, or a per-session list of such pairs.
+
+    Returns:
+        list of (markers_df, [s_diam, s_com]) per session.
+    """
+    n_sessions = len(marker_arrays)
+    names = keypoint_names if keypoint_names is not None else BODYPART_LIST
+
+    per_session_params = (
+        isinstance(smooth_params, (list, tuple))
+        and len(smooth_params) > 0
+        and isinstance(smooth_params[0], (list, tuple))
+    )
+    if per_session_params:
+        assert len(smooth_params) == n_sessions, (
+            "per-session smooth_params list must match the session count"
+        )
+
+    t_counts = {ma.shape[2] for ma in marker_arrays}
+    fixed_flags = (
+        [all(v is not None for v in p) for p in smooth_params]
+        if per_session_params
+        else None
+    )
+    mixed = fixed_flags is not None and len(set(fixed_flags)) > 1
+    if len(t_counts) > 1 or n_sessions == 1 or mixed:
+        if len(t_counts) > 1:
+            logger.info(
+                "pupil sessions differ in frame count; falling back to "
+                "sequential per-session smoothing"
+            )
+        return [
+            ensemble_kalman_smoother_ibl_pupil(
+                marker_array=ma,
+                keypoint_names=names,
+                smooth_params=(
+                    list(smooth_params[i]) if per_session_params
+                    else smooth_params
+                ),
+                s_frames=s_frames,
+                avg_mode=avg_mode,
+                var_mode=var_mode,
+                lr=lr,
+                tol=tol,
+                safety_cap=safety_cap,
+            )
+            for i, ma in enumerate(marker_arrays)
+        ]
+
+    preps = [
+        _pupil_prep(ma, names, avg_mode, var_mode) for ma in marker_arrays
+    ]
+    (preds_l, vars_l, likes_l, yobs_l, m0_l, S0_l, mx_l, my_l,
+     dv_l, xv_l, yv_l) = map(list, zip(*preps))
+
+    all_fixed = (
+        fixed_flags is not None and all(fixed_flags)
+    ) or (
+        not per_session_params
+        and smooth_params is not None
+        and all(v is not None for v in smooth_params)
+    )
+    if all_fixed:
+        if per_session_params:
+            s_pairs = [
+                np.clip(np.asarray(p, dtype=np.float32), 1e-3, 1 - 1e-3)
+                for p in smooth_params
+            ]
+        else:
+            s = np.clip(
+                np.asarray(smooth_params, dtype=np.float32), 1e-3, 1 - 1e-3
+            )
+            s_pairs = [s] * n_sessions
+        s_d = np.asarray([p[0] for p in s_pairs])
+        s_c = np.asarray([p[1] for p in s_pairs])
+    else:
+        # joint optimization across sessions (loss frames optionally cropped)
+        ys_np = np.stack(yobs_l)  # (N, T, 8)
+        vars_np = np.clip(np.stack(vars_l), 1e-12, None)
+        if s_frames and len(s_frames) > 0:
+            y_loss = np.stack([crop_frames(y, s_frames) for y in ys_np])
+            r_loss = np.stack([crop_frames(r, s_frames) for r in vars_np])
+        else:
+            y_loss, r_loss = ys_np, vars_np
+
+        s0 = np.array([0.99, 0.98], dtype=np.float64)
+        u0 = np.tile(np.log(s0 / (1.0 - s0)), (n_sessions, 1))
+
+        from eks_tpu.ops.pallas_nll import _use_fused_nll_tv
+
+        plane = _core._FORCE_PLANE_OPT is True
+        fused = (not plane) and _use_fused_nll_tv(
+            3, int(y_loss.shape[2]), int(y_loss.shape[1])
+        )
+        s_opt, last_loss, iters = _pupil_optimize_sessions_jit(
+            jnp.asarray(y_loss), jnp.asarray(r_loss),
+            jnp.asarray(np.stack(m0_l)), jnp.asarray(np.stack(S0_l)),
+            jnp.asarray(PUPIL_C), jnp.asarray(u0),
+            diameters_var=jnp.asarray(np.asarray(dv_l)),
+            x_var=jnp.asarray(np.asarray(xv_l)),
+            y_var=jnp.asarray(np.asarray(yv_l)),
+            lr=float(lr), tol=float(tol), safety_cap=int(safety_cap),
+            plane=plane, fused=fused,
+        )
+        s_opt = np.asarray(jax.device_get(s_opt))
+        from eks_tpu.utils import profiling as _prof
+
+        if _prof.RECORD_OPT_STATS:
+            _prof.LAST_OPT_STATS["joint_iters"] = int(iters)
+        logger.debug(
+            f"[pupil sessions] joint iters={int(iters)} "
+            f"s_diam={s_opt[:, 0]} s_com={s_opt[:, 1]}"
+        )
+        s_d, s_c = s_opt[:, 0], s_opt[:, 1]
+
+    r_np = np.clip(np.stack(vars_l), 1e-12, None)
+    ms, Vs = _pupil_smooth_sessions_jit(
+        jnp.asarray(np.stack(yobs_l)),
+        jnp.asarray(np.stack(m0_l)), jnp.asarray(np.stack(S0_l)),
+        jnp.asarray(PUPIL_C), jnp.asarray(r_np),
+        jnp.asarray(s_d), jnp.asarray(s_c),
+        jnp.asarray(np.asarray(dv_l)), jnp.asarray(np.asarray(xv_l)),
+        jnp.asarray(np.asarray(yv_l)),
+    )
+    ms, Vs = jax.device_get((ms, Vs))  # one batched pull for every session
+
+    results = []
+    for i in range(n_sessions):
+        df = _pupil_package(
+            names, ms[i], Vs[i], preds_l[i], vars_l[i], likes_l[i],
+            mx_l[i], my_l[i],
+        )
+        results.append((df, [float(s_d[i]), float(s_c[i])]))
+    return results
+
+
+def fit_eks_pupil_sessions(
+    input_sources: list,
+    save_files: list,
+    smooth_params: list | None = None,
+    s_frames: list | None = None,
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+) -> list[tuple]:
+    """File-level wrapper over
+    :func:`ensemble_kalman_smoother_ibl_pupil_sessions`: one input source
+    and one output CSV per session, all sessions smoothed in one batched
+    device program.
+
+    Returns:
+        list of (df_smoothed, [s_diam, s_com], input_dfs_list,
+        bodypart_list) per session.
+    """
+    n_sessions = len(input_sources)
+    assert len(save_files) == n_sessions, "one save_file per session"
+
+    marker_arrays, dfs_per_session = [], []
+    for src in input_sources:
+        input_dfs_list, _ = format_data(src)
+        marker_arrays.append(
+            input_dfs_to_markerArray([input_dfs_list], BODYPART_LIST, [""])
+        )
+        dfs_per_session.append(input_dfs_list)
+
+    results = ensemble_kalman_smoother_ibl_pupil_sessions(
+        marker_arrays=marker_arrays,
+        smooth_params=smooth_params,
+        s_frames=s_frames,
+        avg_mode=avg_mode,
+        var_mode=var_mode,
+    )
+
+    out = []
+    for (df_smoothed, s_final), save_file, dfs in zip(
+        results, save_files, dfs_per_session
+    ):
+        save_dir = os.path.dirname(save_file)
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+        save_dlc_csv(df_smoothed, save_file)
+        out.append((df_smoothed, s_final, dfs, BODYPART_LIST))
+    return out

@@ -197,3 +197,27 @@ def test_cmd_singlecam_sessions_forwards_args(tmp_path):
     assert seen["smooth_param"] == [[2.0], [2.0]]
     assert seen["blocks"] == [[[0, 1]], [[0, 1]]]
     assert seen["bodypart_list"] == ["nose", "paw"]
+
+
+def test_cmd_ibl_pupil_sessions_forwards_args(tmp_path):
+    d1 = tmp_path / "pupilA"
+    d2 = tmp_path / "pupilB"
+    d1.mkdir(); d2.mkdir()
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_ibl_pupil.fit_eks_pupil_sessions",
+        [(DF, [0.9, 0.95], [], ["bp"]), (DF, [0.9, 0.95], [], ["bp"])],
+    )
+    with patcher:
+        _run([
+            "ibl-pupil",
+            "--sessions", str(d1), str(d2),
+            "--save-dir", str(tmp_path),
+            "--diameter-s", "0.9",
+            "--com-s", "0.95",
+        ])
+    assert seen["input_sources"] == [str(d1), str(d2)]
+    assert seen["save_files"] == [
+        str(tmp_path / "eks_ibl_pupil_pupilA.csv"),
+        str(tmp_path / "eks_ibl_pupil_pupilB.csv"),
+    ]
+    assert seen["smooth_params"] == [0.9, 0.95]

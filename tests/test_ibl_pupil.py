@@ -134,3 +134,101 @@ def test_fit_eks_pupil_e2e(tmp_path):
     assert 0 < s_finals[0] < 1 and 0 < s_finals[1] < 1
     assert df.shape == (2000, 36)
     assert np.isfinite(df.to_numpy()).all()
+
+
+# --------------------------------------------------------------------------- #
+# multi-session batching
+# --------------------------------------------------------------------------- #
+def test_pupil_sessions_batched_matches_sequential(rng):
+    """Equal-length sessions in one joint optimizer loop must reproduce the
+    per-session runs (vmap(while_loop) semantics: each lane freezes at its
+    own stop rule)."""
+    from eks_tpu.models.ibl_pupil import (
+        ensemble_kalman_smoother_ibl_pupil_sessions,
+    )
+
+    mas = [_pupil_marker_array(rng, T=100) for _ in range(3)]
+    batched = ensemble_kalman_smoother_ibl_pupil_sessions(
+        mas, smooth_params=None, safety_cap=500
+    )
+    assert len(batched) == 3
+    for (df_b, s_b), ma in zip(batched, mas):
+        df_s, s_s = ensemble_kalman_smoother_ibl_pupil(
+            ma, BODYPART_LIST, smooth_params=None, safety_cap=500
+        )
+        np.testing.assert_allclose(s_b, s_s, rtol=1e-4)
+        np.testing.assert_allclose(
+            df_b.to_numpy(), df_s.to_numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_pupil_sessions_fixed_params_and_fallback(rng):
+    from eks_tpu.models.ibl_pupil import (
+        ensemble_kalman_smoother_ibl_pupil_sessions,
+    )
+
+    # fixed params: single pair broadcast + per-session pairs
+    mas = [_pupil_marker_array(rng, T=80) for _ in range(2)]
+    res = ensemble_kalman_smoother_ibl_pupil_sessions(
+        mas, smooth_params=[0.9, 0.95]
+    )
+    for _, s in res:
+        np.testing.assert_allclose(s, [0.9, 0.95], atol=1e-6)
+    res2 = ensemble_kalman_smoother_ibl_pupil_sessions(
+        mas, smooth_params=[[0.9, 0.95], [0.8, 0.85]]
+    )
+    np.testing.assert_allclose(res2[0][1], [0.9, 0.95], atol=1e-6)
+    np.testing.assert_allclose(res2[1][1], [0.8, 0.85], atol=1e-6)
+    for (df_i, s_i), ma in zip(res2, mas):
+        df_solo, _ = ensemble_kalman_smoother_ibl_pupil(
+            ma, BODYPART_LIST, smooth_params=list(s_i)
+        )
+        np.testing.assert_allclose(
+            df_i.to_numpy(), df_solo.to_numpy(), rtol=1e-5, atol=1e-5
+        )
+
+    # unequal frame counts fall back to sequential per-session runs
+    mas_uneven = [
+        _pupil_marker_array(rng, T=60),
+        _pupil_marker_array(rng, T=90),
+    ]
+    res3 = ensemble_kalman_smoother_ibl_pupil_sessions(
+        mas_uneven, smooth_params=[0.9, 0.95]
+    )
+    assert res3[0][0].shape[0] == 60 and res3[1][0].shape[0] == 90
+
+
+def test_fit_eks_pupil_sessions_e2e(tmp_path, rng):
+    import os
+
+    import pandas as pd
+
+    from eks_tpu.models.ibl_pupil import fit_eks_pupil_sessions
+    from eks_tpu.utils import make_dlc_pandas_index
+
+    T = 60
+    sources, saves = [], []
+    for s in range(2):
+        d = tmp_path / f"sess{s}"
+        d.mkdir()
+        dlc = _dlc_dict(rng, T=T)
+        for m in range(3):
+            cols = make_dlc_pandas_index(
+                BODYPART_LIST, labels=["x", "y", "likelihood"]
+            )
+            block = np.zeros((T, 4 * 3))
+            for k, kp in enumerate(BODYPART_LIST):
+                block[:, 3 * k] = dlc[f"{kp}_x"] + rng.normal(size=T) * 0.2
+                block[:, 3 * k + 1] = dlc[f"{kp}_y"] + rng.normal(size=T) * 0.2
+                block[:, 3 * k + 2] = rng.uniform(0.8, 1.0, size=T)
+            pd.DataFrame(block, columns=cols).to_csv(d / f"seed{m}.csv")
+        sources.append(str(d))
+        saves.append(str(tmp_path / f"out{s}.csv"))
+
+    results = fit_eks_pupil_sessions(sources, saves, smooth_params=[0.9, 0.95])
+    assert len(results) == 2
+    for (df, s_final, input_dfs, names), save in zip(results, saves):
+        assert os.path.exists(save)
+        assert df.shape == (T, 4 * 9)
+        assert names == BODYPART_LIST and len(input_dfs) == 3
+        np.testing.assert_allclose(s_final, [0.9, 0.95], atol=1e-6)
