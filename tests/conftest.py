@@ -15,12 +15,26 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# quiet XLA's AOT-loader machine-feature lines: every persistent-cache load
+# logs an E-level wall of text because compile-time tuning flags
+# (prefer-no-scatter/gather) are compared as if they were CPU features
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 # this jax build re-appends the ambient TPU platform at import time; pin the
 # config explicitly (must happen before the first backend query)
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite's per-module jax.clear_caches()
+# (see _bound_compile_cache_growth below) would otherwise recompile every
+# shared program per module, and the plane-graph/SPMD tests pay multi-minute
+# XLA:CPU LLVM compiles on every run. Disk-cached executables reload in ~ms.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

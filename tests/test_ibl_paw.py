@@ -80,6 +80,7 @@ def test_fit_paw_missing_timestamps(tmp_path, rng):
 
 
 @pytest.mark.skipif(not reference_data_available(), reason="reference data missing")
+@pytest.mark.slow  # ~37s real-data run; golden suites pin this path
 def test_fit_paw_e2e(tmp_path):
     dfs, s, input_dfs, bps = fit_eks_multicam_ibl_paw(
         input_source=f"{REFERENCE_DATA}/ibl-paw",

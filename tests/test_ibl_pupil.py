@@ -123,6 +123,7 @@ def test_pupil_geometry_consistency(rng):
 
 
 @pytest.mark.skipif(not reference_data_available(), reason="reference data missing")
+@pytest.mark.slow  # ~46s real-data auto-s run; golden suites pin this path
 def test_fit_eks_pupil_e2e(tmp_path):
     df, s_finals, input_dfs, kps = fit_eks_pupil(
         input_source=f"{REFERENCE_DATA}/ibl-pupil",

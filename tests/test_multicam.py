@@ -344,6 +344,7 @@ def test_inflation_fixed_point_matches_sklearn_default(monkeypatch):
 
 # ------------------------------- e2e ------------------------------- #
 @pytest.mark.skipif(not reference_data_available(), reason="reference data missing")
+@pytest.mark.slow  # ~19s real-data run; golden suites pin this path
 def test_fit_eks_mirrored_multicam_e2e(tmp_path):
     df, s, input_dfs, bodyparts = fit_eks_mirrored_multicam(
         input_source=f"{REFERENCE_DATA}/mirror-mouse",
@@ -370,6 +371,7 @@ def test_fit_eks_multicam_separate_e2e(tmp_path):
 
 
 @pytest.mark.skipif(not reference_data_available(), reason="reference data missing")
+@pytest.mark.slow  # ~25s real-calibration run; golden suites pin this path
 def test_fit_eks_multicam_fly_calibrated_e2e(tmp_path):
     dfs, s, input_dfs, bodyparts, df3d = fit_eks_multicam(
         input_source=f"{REFERENCE_DATA}/fly",

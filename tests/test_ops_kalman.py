@@ -103,7 +103,9 @@ def test_sequential_matches_oracle_f32_loose(rng):
 
 
 @pytest.mark.parametrize("D,O", [(2, 2), (3, 6)])
-@pytest.mark.parametrize("T", [1, 2, 3, 37, 256])
+@pytest.mark.parametrize(
+    "T", [1, 2, 3, 37, pytest.param(256, marks=pytest.mark.slow)]
+)  # T=256 at both configs costs ~46s of compile; parity is T-independent
 def test_parallel_matches_sequential(rng, D, O, T):
     ys, m0, S0, A, Q, C, r = make_problem(rng, T=T, D=D, O=O)
     args = [jnp.asarray(a) for a in (ys, m0, S0, A, Q)]
@@ -127,6 +129,8 @@ def test_parallel_matches_sequential(rng, D, O, T):
     )
 
 
+@pytest.mark.slow  # 10k-frame compile+run costs ~1 min on XLA:CPU; the
+# stability property is shape-driven, not inner-loop-driven
 def test_parallel_long_sequence_stability(rng):
     # 10k frames, tiny/huge variance extremes as produced by ensemble()'s
     # nan_replacement=1000 and the 1e-12 variance floor
@@ -244,6 +248,8 @@ def test_iterated_parallel_ekf_matches_sequential(rng):
     )
 
 
+@pytest.mark.slow  # real-calibration EKF run (~37s); the op itself stays
+# fast-tier via test_iterated_parallel_ekf_matches_sequential
 def test_iterated_parallel_ekf_fly_calibration():
     """VERDICT item 6 done-criterion: nonlinear smoother output matches the
     sequential EKF at atol=1e-4 on real fly data with O(log T) depth."""
@@ -297,6 +303,8 @@ def test_iterated_parallel_ekf_fly_calibration():
     )
 
 
+@pytest.mark.slow  # the iterated-EKF plane graph is the most expensive
+# XLA:CPU LLVM compile in the suite (~2 min); AoS-EKF parity stays fast-tier
 def test_plane_ekf_nll_matches_aos(rng):
     """The plane-native batched iterated-EKF NLL (the calibrated family's
     s-optimizer loss, ops/pkalman.py::ekf_nll_parallel_planes_batched) must
@@ -378,6 +386,8 @@ def test_plane_ekf_nll_warm_start_sits_at_fixed_point(rng):
     )
 
 
+@pytest.mark.slow  # EKF-plane jvp graph is a ~50s LLVM compile; the
+# fixed-point property keeps a fast-tier pin (warm-start test below)
 def test_plane_ekf_nll_jvp_matches_finite_difference(rng):
     """The optimizer consumes d(NLL)/d(log s) through jax.jvp of the plane
     EKF loss; pin it against a float64-ish central difference."""
@@ -407,7 +417,16 @@ def test_plane_ekf_nll_jvp_matches_finite_difference(rng):
     np.testing.assert_allclose(float(tangent), fd, rtol=2e-2)
 
 
-@pytest.mark.parametrize("D,O", [(2, 2), (3, 6), (3, 8)])
+@pytest.mark.parametrize(
+    "D,O",
+    [
+        (2, 2),
+        # wider plane graphs cost minutes of XLA:CPU LLVM compile; the slow
+        # tier keeps the coverage, the fast tier keeps the smallest config
+        pytest.param(3, 6, marks=pytest.mark.slow),
+        pytest.param(3, 8, marks=pytest.mark.slow),
+    ],
+)
 def test_plane_nll_matches_parallel_filter(rng, D, O):
     """The plane-native constant-R NLL (the s-optimizer loss,
     filter_nll_parallel_planes) must agree with the generic parallel filter
@@ -451,6 +470,8 @@ def test_plane_nll_jvp_matches_value_and_grad(rng):
     np.testing.assert_allclose(float(g), fd, rtol=5e-2)
 
 
+@pytest.mark.slow  # ~65s of plane-graph compile; the batched plane path
+# keeps a fast-tier pin via test_plane_nll_batched_d3_value_parity
 @pytest.mark.parametrize("D,O", [(2, 2)])  # one config: the batched path
 # reuses the per-sequence element build and epilogue already covered at
 # D=3 by test_plane_nll_matches_parallel_filter; a second config here only
@@ -511,7 +532,10 @@ def test_plane_nll_batched_matches_single(rng, D, O):
         np.testing.assert_allclose(float(g), fd, rtol=5e-2)
 
 
-@pytest.mark.parametrize("D,O", [(2, 2), (3, 8)])
+@pytest.mark.parametrize(
+    "D,O",
+    [(2, 2), pytest.param(3, 8, marks=pytest.mark.slow)],
+)
 def test_plane_nll_tv_matches_parallel_filter(rng, D, O):
     """The information-form plane NLL for TIME-VARYING diagonal R (the pupil
     optimizer's loss, filter_nll_parallel_planes_tv) must agree with the

@@ -123,6 +123,8 @@ def test_pallas_smoother_matches_sequential():
     )
 
 
+@pytest.mark.slow  # ~45s of interpret-mode runtime; the D=3/O=8 kernel
+# also runs on real TPU hardware every bench round
 def test_pallas_d3_o8_pupil_shapes():
     from eks_tpu.ops.kalman import kalman_smoother
     from eks_tpu.ops.pallas_filter import kalman_smoother_pallas
@@ -166,6 +168,8 @@ def test_pallas_custom_jvp_matches_sequential_grad():
     np.testing.assert_allclose(float(g), float(g2), rtol=5e-3)
 
 
+@pytest.mark.slow  # dispatch flags are exercised throughout the plane
+# tests; this explicit ~30s pin stays in the slow tier
 def test_pallas_dispatch_via_force_flag():
     """kalman_smoother_parallel routes through the fused kernel under
     force_pallas_scan and still matches its own XLA path."""

@@ -154,6 +154,8 @@ def test_devices_flag_cli_singlecam(tmp_path, rng):
     )
 
 
+@pytest.mark.slow  # ~74s SPMD compile; SP-through-the-driver is one of
+# the four dryrun_multichip legs the driver validates every round
 def test_time_partition_through_driver(rng):
     """run_kalman_smoother(partition='time') — the product sequence-parallel
     path — agrees with the single-device run through optimizer + final pass."""
@@ -279,6 +281,8 @@ def _calibrated_problem(rng, K=3, T=64):
     return group, obs, ev, m0s, S0s, As, Qs, Cs, h_fn
 
 
+@pytest.mark.slow  # heaviest SPMD compile in the suite (~2 min); the driver's
+# dryrun_multichip exercises nonlinear-EKF DP every round as well
 def test_devices_with_nonlinear_h_fn(rng):
     """The calibrated (nonlinear EKF) optimizer + smoother must agree between
     the single-device run and the 8-device keypoint mesh (VERDICT r2 item 1:
@@ -331,6 +335,8 @@ def test_multicam_calibrated_family_devices(rng):
     np.testing.assert_allclose(d3_8.to_numpy(), d3_1.to_numpy(), atol=1e-3)
 
 
+@pytest.mark.slow  # ~84s of SPMD compile; the calibrated-family and driver-
+# level devices tests keep the mesh product path fast-tier
 def test_multicam_linear_family_devices(rng):
     """Product wiring: the fused linear multicam path under devices=8 (auto-
     tuned s so the sharded optimizer is exercised end-to-end)."""
@@ -356,6 +362,8 @@ def test_multicam_linear_family_devices(rng):
         np.testing.assert_allclose(a.to_numpy(), b.to_numpy(), atol=1e-3)
 
 
+@pytest.mark.slow  # ~83s SPMD compile; pupil SP wiring also runs in the
+# driver's dryrun_multichip every round
 def test_pupil_two_param_optimizer_under_mesh(rng):
     """The pupil family's sigmoid-space 2-parameter optimizer under the
     8-device time mesh must track the single-device iterates (VERDICT r2
