@@ -40,7 +40,9 @@ def pytest_addoption(parser):
 def golden(request):
     generate = request.config.getoption("--generate-golden")
 
-    def compare(name: str, df: pd.DataFrame, atol: float = 1e-4):
+    def compare(
+        name: str, df: pd.DataFrame, atol: float = 1e-4, rtol: float = 0.0
+    ):
         """``atol`` defaults to the reference's own contract (1e-4,
         /root/reference/tests/conftest.py:95-101). A few scenarios pass a
         larger, *measured* bound where cross-implementation float32 drift
@@ -58,7 +60,7 @@ def golden(request):
         ref = pd.read_csv(path, header=[0, 1, 2], index_col=0)
         assert ref.shape == df.shape, f"{name}: shape {df.shape} != golden {ref.shape}"
         np.testing.assert_allclose(
-            df.to_numpy(), ref.to_numpy(), rtol=0, atol=atol,
+            df.to_numpy(), ref.to_numpy(), rtol=rtol, atol=atol,
             err_msg=f"golden mismatch: {name}",
         )
 
