@@ -552,10 +552,9 @@ def bench_sessions(rng, n_sessions=4):
     ]
     names = [[f"kp{i}" for i in range(K)] for _ in range(n_sessions)]
 
-    def sequential_once():
+    def one_session(ma, ns):
         t0 = time.perf_counter()
-        for ma, ns in zip(mas, names):
-            ensemble_kalman_smoother_singlecam(ma, ns)
+        ensemble_kalman_smoother_singlecam(ma, ns)
         return time.perf_counter() - t0
 
     def batched_once():
@@ -564,9 +563,16 @@ def bench_sessions(rng, n_sessions=4):
         return time.perf_counter() - t0
 
     batched_once()  # compile the stacked (n_sessions*K)-lane program
-    t_batched = min(batched_once() for _ in range(2))
-    # the per-session K=20 program is already warm from the headline measure
-    t_seq = min(sequential_once() for _ in range(2))
+    t_batched = min(batched_once() for _ in range(3))
+    # tunnel round-trips swing individual runs by ~2x, so the sequential
+    # side is the sum of per-session minimums (each session run twice) —
+    # the most favorable-to-sequential composition, keeping the reported
+    # speedup conservative. The per-session K=20 program is already warm
+    # from the headline measure.
+    t_seq = sum(
+        min(one_session(ma, ns) for _ in range(2))
+        for ma, ns in zip(mas, names)
+    )
     agg = n_sessions * T * K
     return {
         "value": round(agg / t_batched, 1),
@@ -727,10 +733,9 @@ def bench_pupil_sessions(rng, n_sessions=8, frames=10_000):
 
     mas = [_make_pupil_session(rng, frames) for _ in range(n_sessions)]
 
-    def sequential_once():
+    def one_session(ma):
         t0 = time.perf_counter()
-        for ma in mas:
-            ensemble_kalman_smoother_ibl_pupil(ma, BODYPART_LIST)
+        ensemble_kalman_smoother_ibl_pupil(ma, BODYPART_LIST)
         return time.perf_counter() - t0
 
     def batched_once():
@@ -740,8 +745,10 @@ def bench_pupil_sessions(rng, n_sessions=8, frames=10_000):
 
     batched_once()  # compile the joint program
     t_batched = min(batched_once() for _ in range(2))
-    # the solo program is already warm from bench_pupil (same shapes)
-    t_seq = sequential_once()
+    # the solo program is already warm from bench_pupil (same shapes);
+    # per-session timing composes the sequential side from single-run
+    # measurements (tunnel noise averages out across the 8 sessions)
+    t_seq = sum(one_session(ma) for ma in mas)
     agg = n_sessions * frames
     return {
         "value": round(agg / t_batched, 1),
@@ -1365,18 +1372,22 @@ def measure_link():
     lat = min(rt(tiny) for _ in range(5))
     big = np.zeros(8 << 20, np.float32)  # 32 MiB
     t_up = min(rt(big) for _ in range(3))
-    # the pulled array must be device-COMPUTED: a plain device_put result can
-    # be served back from the runtime's host-side copy, which times the pull
-    # at ~0 and nonsense bandwidth (observed: 2^25 GB/s)
-    d = jax.jit(lambda x: x + 1.0)(big)
-    jax.device_get(d[:1])
 
-    def pull():
+    # Each rep must pull a FRESH device-computed array: the runtime serves
+    # repeat device_gets (and device_put round-trips) from a host-side copy,
+    # which times the pull at ~0 and yields nonsense bandwidth (observed:
+    # 2^25 GB/s). A distinct computation per rep defeats the cache.
+    add = jax.jit(lambda x, c: x + c)
+
+    def pull(i):
+        d = add(big, float(i))
+        jax.device_get(d[:1])  # block until the compute itself lands
         t0 = time.perf_counter()
         jax.device_get(d)
         return time.perf_counter() - t0
 
-    t_down = min(pull() for _ in range(3))
+    pull(0)  # warm the dispatch path
+    t_down = min(pull(i) for i in range(1, 4))
     up = big.nbytes / max(t_up - lat, 1e-9)
     down = big.nbytes / max(t_down - lat, 1e-9)
     return up, down, lat

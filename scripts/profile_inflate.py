@@ -38,17 +38,21 @@ def main():
     ma = MarkerArray(arr, data_fields=["x", "y", "likelihood"])
     names = [f"kp{i}" for i in range(KPS)]
 
-    # end-to-end (warm + timed)
-    def once():
-        t0 = time.perf_counter()
-        ensemble_kalman_smoother_multicam(
-            ma, names, ["cam0", "cam1"], inflate_vars=True, n_latent=3
-        )
-        return time.perf_counter() - t0
+    # end-to-end (warm + timed) — CPU end-to-end runs take minutes per
+    # pass (the optimizer scans compile+run on XLA:CPU), so they are opt-in:
+    #   python scripts/profile_inflate.py --e2e
+    total = None
+    if "--e2e" in sys.argv:
+        def once():
+            t0 = time.perf_counter()
+            ensemble_kalman_smoother_multicam(
+                ma, names, ["cam0", "cam1"], inflate_vars=True, n_latent=3
+            )
+            return time.perf_counter() - t0
 
-    once()
-    total = min(once() for _ in range(2))
-    print(f"total end-to-end: {total:.3f}s  ({FRAMES / total:.0f} f/s)")
+        once()
+        total = min(once() for _ in range(2))
+        print(f"total end-to-end: {total:.3f}s  ({FRAMES / total:.0f} f/s)")
 
     # stage split
     t0 = time.perf_counter()
@@ -92,7 +96,11 @@ def main():
         f"(FA fits {t_fa:.3f}s over {n_rounds} rounds / {n_em_iters} EM iters; "
         f"screening {t_screen:.3f}s)"
     )
-    print(f"residual (PCA+optimizer+smoother+packaging): {total - t_ens - t_center - t_fixed_point:.3f}s")
+    if total is not None:
+        print(
+            "residual (PCA+optimizer+smoother+packaging): "
+            f"{total - t_ens - t_center - t_fixed_point:.3f}s"
+        )
 
 
 if __name__ == "__main__":
