@@ -1611,7 +1611,7 @@ def _install_kill_net(deadline: float) -> None:
     def watchdog():
         while True:
             time.sleep(10.0)
-            if time.perf_counter() > deadline + 60.0:
+            if time.perf_counter() > deadline + 45.0:
                 RESULT.setdefault(
                     "note", "watchdog: deadline exceeded, emitting partial result"
                 )
@@ -1621,18 +1621,25 @@ def _install_kill_net(deadline: float) -> None:
     threading.Thread(target=watchdog, daemon=True).start()
 
 
+#: cheapest-last-two swapped: ibl_paw is the cheapest family and ibl_pupil
+#: the most expensive (its optimizer runs ~2,700 iterations), so pupil goes
+#: last — on a slow-tunnel day the watchdog's partial result then cuts the
+#: least possible
 FAMILY_ORDER = [
     "singlecam_k100_kpframes",
     "multicam_linear",
     "multicam_calibrated",
     "multicam_inflate",
-    "ibl_pupil",
     "ibl_paw",
+    "ibl_pupil",
 ]
 
 
 def main():
     t_start = time.perf_counter()
+    # fast-tunnel runs complete everything in ~750-810s; on slow-tunnel days
+    # the watchdog emits the best-so-far JSON at budget+45 (~825s), still
+    # inside the driver's observed kill window (r3 died at ~900s)
     budget = float(os.environ.get("EKS_BENCH_BUDGET_S", "780"))
     deadline = t_start + budget
     _install_kill_net(deadline)
