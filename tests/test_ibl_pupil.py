@@ -233,3 +233,37 @@ def test_fit_eks_pupil_sessions_e2e(tmp_path, rng):
         assert df.shape == (T, 4 * 9)
         assert names == BODYPART_LIST and len(input_dfs) == 3
         np.testing.assert_allclose(s_final, [0.9, 0.95], atol=1e-6)
+
+
+@pytest.mark.slow  # real-data run (~20s); fixed params keep it deterministic
+def test_pupil_sessions_real_data_matches_solo():
+    """The sessions path on the real ibl-pupil session (twice, as two
+    'sessions') must reproduce the solo path's outputs at fixed params."""
+    import pytest as _pytest
+
+    from tests.conftest import REFERENCE_DATA, reference_data_available
+
+    if not reference_data_available():
+        _pytest.skip("reference data missing")
+
+    from eks_tpu.marker_array import input_dfs_to_markerArray
+    from eks_tpu.models.ibl_pupil import (
+        ensemble_kalman_smoother_ibl_pupil,
+        ensemble_kalman_smoother_ibl_pupil_sessions,
+    )
+    from eks_tpu.utils import format_data
+
+    dfs, _ = format_data(f"{REFERENCE_DATA}/ibl-pupil")
+    ma = input_dfs_to_markerArray([dfs], BODYPART_LIST, [""])
+
+    batched = ensemble_kalman_smoother_ibl_pupil_sessions(
+        [ma, ma], smooth_params=[0.99, 0.98]
+    )
+    solo_df, _ = ensemble_kalman_smoother_ibl_pupil(
+        ma, BODYPART_LIST, smooth_params=[0.99, 0.98]
+    )
+    for df_i, s_i in batched:
+        np.testing.assert_allclose(s_i, [0.99, 0.98], atol=1e-6)
+        np.testing.assert_allclose(
+            df_i.to_numpy(), solo_df.to_numpy(), rtol=1e-5, atol=1e-4
+        )
