@@ -1,7 +1,10 @@
 """Benchmark: smoothed frames/sec/chip across the model families.
 
-Prints ONE JSON line:
+Prints ONE JSON line (compact, <=1500 chars so the driver's 2000-char stdout
+tail captures it whole):
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "families": {...}}
+The complete result (roofline detail, baseline provenance, XLA cost) is
+written to outputs/bench_full.json.
 
 The headline metric is the singlecam flagship (10k frames x 20 keypoints x
 5 seeds, ensemble + Adam s-optimization + smoothing); "families" adds the
@@ -1579,12 +1582,67 @@ RESULT: dict = {}
 _PRINTED = False
 
 
+def _compact_summary() -> dict:
+    """Digest of RESULT guaranteed to fit the driver's 2000-char stdout tail.
+
+    The driver records only the LAST 2000 chars of stdout; the full RESULT
+    dict is ~2.3 KB, so printing it as the final line front-truncates the
+    scored headline fields and the artifact parses as null (BENCH_r03/r04).
+    Stdout therefore carries only this <=1500-char summary — headline value,
+    vs_baseline, per-family value/vs_baseline/transfer-floor, the session-
+    batching probes, and the roofline's floor fraction — while the complete
+    RESULT goes to outputs/bench_full.json."""
+    out = {}
+    for k in ("metric", "value", "unit", "vs_baseline", "baseline_cpu_s"):
+        if k in RESULT:
+            out[k] = RESULT[k]
+    fams = RESULT.get("families")
+    if isinstance(fams, dict):
+        out["families"] = {
+            name: (
+                {k: v[k] for k in
+                 ("value", "vs_baseline", "transfer_floor_fraction")
+                 if k in v}
+                if isinstance(v, dict) else v
+            )
+            for name, v in fams.items()
+        }
+    for k in ("sessions4", "pupil_sessions8", "pupil_sessions_sweep"):
+        v = RESULT.get(k)
+        if isinstance(v, dict):
+            out[k] = {kk: v[kk] for kk in
+                      ("value", "vs_sequential", "n_sessions", "sweep")
+                      if kk in v}
+        elif v is not None:
+            out[k] = v
+    roof = RESULT.get("roofline")
+    if isinstance(roof, dict) and "transfer_floor_fraction" in roof:
+        out["transfer_floor_fraction"] = roof["transfer_floor_fraction"]
+    if "bench_wall_s" in RESULT:
+        out["bench_wall_s"] = RESULT["bench_wall_s"]
+    if "note" in RESULT:
+        out["note"] = str(RESULT["note"])[:160]
+    out["full_result"] = "outputs/bench_full.json"
+    # belt-and-braces: drop optional fields until the line fits
+    for k in ("note", "metric", "pupil_sessions_sweep", "families"):
+        if len(json.dumps(out)) <= 1500:
+            break
+        out.pop(k, None)
+    return out
+
+
 def _emit_result() -> None:
     global _PRINTED
     if _PRINTED or not RESULT.get("value"):
         return
     _PRINTED = True
-    print(json.dumps(RESULT), flush=True)
+    try:
+        os.makedirs(os.path.join(_REPO, "outputs"), exist_ok=True)
+        with open(os.path.join(_REPO, "outputs", "bench_full.json"), "w") as f:
+            json.dump(RESULT, f, indent=1)
+    except Exception:
+        pass  # the stdout line must go out regardless
+    print(json.dumps(_compact_summary()), flush=True)
 
 
 def _install_kill_net(deadline: float) -> None:

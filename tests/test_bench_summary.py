@@ -1,0 +1,169 @@
+"""The bench's final stdout line must fit the driver's 2000-char tail.
+
+BENCH_r03/r04 both came back ``parsed: null`` because bench.py printed the
+full ~2.3 KB RESULT dict as its last line and the driver keeps only the last
+2000 chars of stdout — the front of the line (``value``, ``vs_baseline``,
+the scored headline) was cut off. ``_compact_summary`` is the fix; these
+tests pin its contract with a replica of the round-4 RESULT (the largest
+observed payload) plus adversarial variants.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    import jax
+
+    # bench.py repoints the persistent compile cache to .jax_cache at import
+    # time; restore the suite's .jax_cache_tests afterwards
+    saved_cache = jax.config.jax_compilation_cache_dir
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    yield mod
+    sys.modules.pop("bench_under_test", None)
+    jax.config.update("jax_compilation_cache_dir", saved_cache)
+
+
+def _r4_replica():
+    """Shape/size replica of the BENCH_r04 full RESULT (the payload that
+    overflowed the tail)."""
+    fam = {
+        "value": 22224.2, "joint_iters": 74, "vs_baseline": 294.56,
+        "baseline_cpu_s": 132.5,
+        "baseline_method": "measured full run (300 joint iters)",
+        "transfer_floor_fraction": 0.31,
+    }
+    return {
+        "metric": "smoothed frames/sec/chip (ensemble+EM+smooth, "
+                  "10k frames x 20 kps x 5 seeds)",
+        "unit": "frames/s",
+        "value": 25661.2,
+        "vs_baseline": 68.7,
+        "baseline_cpu_s": 26.8,
+        "families": {
+            name: dict(fam) for name in (
+                "singlecam_k100_kpframes", "multicam_linear",
+                "multicam_calibrated", "multicam_inflate",
+                "ibl_paw", "ibl_pupil",
+            )
+        },
+        "sessions4": {
+            "value": 480440.7, "unit": "kp-frames/s", "n_sessions": 4,
+            "vs_sequential": 0.93, "sequential_kpframes_s": 518095.3,
+        },
+        "pupil_sessions8": {
+            "value": 44096.5, "unit": "frames/s", "n_sessions": 8,
+            "vs_sequential": 3.16, "sequential_frames_s": 13948.4,
+        },
+        "roofline": {
+            "link_up_gbps": 0.101, "link_down_gbps": 0.04,
+            "link_roundtrip_ms": 26.29, "headline_bytes_up_mb": 3.2,
+            "headline_bytes_down_mb": 3.2, "transfer_floor_s": 0.164,
+            "headline_elapsed_s": 0.3897, "transfer_floor_fraction": 0.421,
+            "headline_joint_iters": 92, "optimizer_device_s": 0.049,
+            "smoother_device_s": 0.0338,
+            "xla_cost": {
+                "optimizer": {"flops": 508127.0, "bytes accessed": 28769280.0},
+                "smoother": {"flops": 88778808.0,
+                             "bytes accessed": 2677324288.0},
+            },
+            "note": "x" * 300,
+            "smoother_hbm_gbps": 79.2, "smoother_hbm_fraction": 0.0967,
+            "smoother_tflops": 0.0026, "optimizer_hbm_gbps": 54.02,
+            "optimizer_hbm_fraction": 0.066, "optimizer_tflops": 0.001,
+        },
+        "bench_wall_s": 401.1,
+    }
+
+
+def _with_result(bench, payload):
+    saved = dict(bench.RESULT)
+    bench.RESULT.clear()
+    bench.RESULT.update(payload)
+    try:
+        return bench._compact_summary()
+    finally:
+        bench.RESULT.clear()
+        bench.RESULT.update(saved)
+
+
+def test_compact_line_fits_tail_and_keeps_scored_fields(bench):
+    out = _with_result(bench, _r4_replica())
+    line = json.dumps(out)
+    assert len(line) <= 1500, f"compact line is {len(line)} chars"
+    # the scored headline fields the driver parses
+    assert out["value"] == 25661.2
+    assert out["vs_baseline"] == 68.7
+    assert out["unit"] == "frames/s"
+    # every family keeps value + vs_baseline (+ floor fraction when present)
+    assert set(out["families"]) == set(_r4_replica()["families"])
+    for v in out["families"].values():
+        assert set(v) == {"value", "vs_baseline", "transfer_floor_fraction"}
+    # session probes keep the comparison numbers, drop the rest
+    assert out["sessions4"]["vs_sequential"] == 0.93
+    assert out["pupil_sessions8"]["vs_sequential"] == 3.16
+    # roofline is collapsed to its one scored scalar
+    assert out["transfer_floor_fraction"] == 0.421
+    assert "roofline" not in out
+    # round-trips as a single JSON document
+    assert json.loads(line) == out
+
+
+def test_compact_line_survives_error_strings_and_pending(bench):
+    payload = _r4_replica()
+    payload["families"]["multicam_inflate"] = "error: TimeoutError"
+    payload["families"]["ibl_pupil"]["vs_baseline"] = "pending"
+    payload["sessions4"] = "pending"
+    payload["roofline"] = "pending"
+    payload["note"] = "watchdog: deadline exceeded, emitting partial result"
+    out = _with_result(bench, payload)
+    line = json.dumps(out)
+    assert len(line) <= 1500
+    assert out["families"]["multicam_inflate"] == "error: TimeoutError"
+    assert out["sessions4"] == "pending"
+    assert out["note"].startswith("watchdog")
+
+
+def test_compact_line_truncation_ladder(bench):
+    """Even a pathologically bloated RESULT must fit: the ladder drops
+    optional fields (note, metric, families) until the line fits."""
+    payload = _r4_replica()
+    payload["metric"] = "m" * 1200
+    payload["note"] = "n" * 1200
+    out = _with_result(bench, payload)
+    assert len(json.dumps(out)) <= 1500
+    # the scored scalars are never dropped
+    assert out["value"] == 25661.2
+    assert out["vs_baseline"] == 68.7
+
+
+def test_emit_writes_full_result_and_prints_compact(bench, tmp_path, capsys,
+                                                    monkeypatch):
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    monkeypatch.setattr(bench, "_PRINTED", False)
+    saved = dict(bench.RESULT)
+    bench.RESULT.clear()
+    bench.RESULT.update(_r4_replica())
+    try:
+        bench._emit_result()
+    finally:
+        full = tmp_path / "outputs" / "bench_full.json"
+        stdout = capsys.readouterr().out
+        bench.RESULT.clear()
+        bench.RESULT.update(saved)
+        bench._PRINTED = False
+    # full detail on disk, compact line on stdout — and stdout in its
+    # ENTIRETY stays under the driver's tail window
+    assert json.load(open(full))["roofline"]["headline_joint_iters"] == 92
+    assert len(stdout) <= 2000
+    parsed = json.loads(stdout.strip().splitlines()[-1])
+    assert parsed["value"] == 25661.2 and parsed["vs_baseline"] == 68.7
