@@ -36,6 +36,32 @@ def handle_io(input_dir, save_dir) -> Path:
     return Path(save_dir)
 
 
+def sessions_save_files(session_dirs, save_dir, prefix: str) -> list[str]:
+    """Resolve per-session output CSV paths for ``--sessions`` mode.
+
+    With ``--save-dir``, every session's CSV goes there as
+    ``{prefix}_{dirname}.csv``. Without it, each session's CSV is written
+    next to its own input directory (``<session_dir>/outputs/{prefix}.csv``)
+    — a single shared default directory keyed by basename would silently
+    collide when two sessions share a directory name (ADVICE r4).
+    """
+    for d in session_dirs:
+        if not Path(d).is_dir():
+            raise ValueError(
+                f"--sessions entry {str(d)!r} is not a directory"
+            )
+    if save_dir is None:
+        files = []
+        for d in session_dirs:
+            out = Path(d) / "outputs"
+            out.mkdir(parents=True, exist_ok=True)
+            files.append(str(out / f"{prefix}.csv"))
+        return files
+    out = Path(save_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    return [str(out / f"{prefix}_{Path(d).name}.csv") for d in session_dirs]
+
+
 def parse_s_frames(text: str) -> list[tuple[int | None, int | None]]:
     """Parse an ``--s-frames`` value.
 

@@ -5,6 +5,8 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
+import logging
+
 from eks_tpu.cli._utils import (
     add_com_s,
     add_common_args,
@@ -12,8 +14,27 @@ from eks_tpu.cli._utils import (
     add_diameter_s,
     handle_io,
     plot_results,
+    sessions_save_files,
 )
 from eks_tpu.models.ibl_pupil import fit_eks_pupil, fit_eks_pupil_sessions
+
+logger = logging.getLogger(__name__)
+
+
+def _warn_half_specified_s(args: argparse.Namespace) -> None:
+    """Fixing only one of the two pupil smoothing parameters is unsupported
+    (matching the reference, tests/test_ibl_pupil_smoother.py:218-233 there):
+    a half-specified pair is treated as fully-auto and BOTH parameters are
+    optimized. Say so instead of silently discarding the given value
+    (ADVICE r4)."""
+    if (args.diameter_s is None) != (args.com_s is None):
+        given = "--diameter-s" if args.diameter_s is not None else "--com-s"
+        logger.warning(
+            "%s was given without its partner; fixing only one of "
+            "--diameter-s/--com-s is unsupported — the value is ignored and "
+            "both parameters will be optimized (pass both to fix them)",
+            given,
+        )
 
 
 def register(subparsers: argparse._SubParsersAction) -> None:
@@ -32,7 +53,9 @@ def register(subparsers: argparse._SubParsersAction) -> None:
         metavar="DIR",
         help="several session input directories smoothed together as one "
         "batched device program (one output CSV per session, named "
-        "eks_ibl_pupil_<dirname>.csv); the single-lane pupil model "
+        "eks_ibl_pupil_<dirname>.csv under --save-dir, or "
+        "<session>/outputs/eks_ibl_pupil.csv next to each input when "
+        "--save-dir is omitted); the single-lane pupil model "
         "underfills an accelerator, so equal-length sessions sharing one "
         "joint optimizer loop is the throughput mode for session fleets",
     )
@@ -40,6 +63,7 @@ def register(subparsers: argparse._SubParsersAction) -> None:
 
 
 def cmd_ibl_pupil(args: argparse.Namespace) -> None:
+    _warn_half_specified_s(args)
     if args.sessions is not None:
         _cmd_ibl_pupil_sessions(args)
         return
@@ -77,10 +101,10 @@ def cmd_ibl_pupil(args: argparse.Namespace) -> None:
 
 def _cmd_ibl_pupil_sessions(args: argparse.Namespace) -> None:
     session_dirs = [Path(d).resolve() for d in args.sessions]
-    save_dir = handle_io(session_dirs[0], args.save_dir)
-    save_files = [
-        str(save_dir / f"eks_ibl_pupil_{d.name}.csv") for d in session_dirs
-    ]
+    save_files = sessions_save_files(
+        session_dirs, args.save_dir, "eks_ibl_pupil"
+    )
+    save_dir = Path(save_files[-1]).parent
 
     smooth_params = None
     if args.diameter_s is not None or args.com_s is not None:

@@ -12,6 +12,7 @@ from eks_tpu.cli._utils import (
     add_s,
     handle_io,
     plot_results,
+    sessions_save_files,
 )
 from eks_tpu.models.singlecam import fit_eks_singlecam, fit_eks_singlecam_sessions
 
@@ -31,8 +32,10 @@ def register(subparsers: argparse._SubParsersAction) -> None:
         default=None,
         metavar="DIR",
         help="several session input directories smoothed together as one "
-        "batched device program (one output CSV per session, named "
-        "eks_singlecam_<dirname>.csv); equal-length sessions share a single "
+        "batched device program (one output CSV per session: "
+        "eks_singlecam_<dirname>.csv under --save-dir, or "
+        "<session>/outputs/eks_singlecam.csv next to each input when "
+        "--save-dir is omitted); equal-length sessions share a single "
         "compile/upload/dispatch — a batching mode the reference lacks",
     )
     parser.set_defaults(handler=cmd_singlecam)
@@ -78,10 +81,10 @@ def cmd_singlecam(args: argparse.Namespace) -> None:
 
 def _cmd_singlecam_sessions(args: argparse.Namespace) -> None:
     session_dirs = [Path(d).resolve() for d in args.sessions]
-    save_dir = handle_io(session_dirs[0], args.save_dir)
-    save_files = [
-        str(save_dir / f"eks_singlecam_{d.name}.csv") for d in session_dirs
-    ]
+    save_files = sessions_save_files(
+        session_dirs, args.save_dir, "eks_singlecam"
+    )
+    save_dir = Path(save_files[-1]).parent
 
     # the CLI's --blocks / --s settings apply to every session (sessions in
     # one batch share a keypoint layout)

@@ -795,6 +795,8 @@ def ensemble_kalman_smoother_ibl_pupil_sessions(
     Returns:
         list of (markers_df, [s_diam, s_com]) per session.
     """
+    if not marker_arrays:
+        return []  # nothing to smooth; would otherwise crash in np.stack
     n_sessions = len(marker_arrays)
     names = keypoint_names if keypoint_names is not None else BODYPART_LIST
 

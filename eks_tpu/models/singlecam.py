@@ -214,6 +214,8 @@ def ensemble_kalman_smoother_singlecam_sessions(
     Returns:
         list of (markers_df, s_finals) per session.
     """
+    if not marker_arrays:
+        return []  # nothing to smooth; would otherwise crash in np.stack
     n_sessions = len(marker_arrays)
     assert len(keypoint_names) == n_sessions, "one name list per session"
     per_session_param = isinstance(smooth_param, (list, tuple))

@@ -221,3 +221,85 @@ def test_cmd_ibl_pupil_sessions_forwards_args(tmp_path):
         str(tmp_path / "eks_ibl_pupil_pupilB.csv"),
     ]
     assert seen["smooth_params"] == [0.9, 0.95]
+
+
+def test_cmd_singlecam_sessions_default_save_next_to_inputs(tmp_path):
+    """Without --save-dir each session's CSV lands next to its own input
+    directory (ADVICE r4: a shared default dir keyed by basename collides
+    when two sessions share a directory name)."""
+    d1 = tmp_path / "a" / "session"
+    d2 = tmp_path / "b" / "session"  # same basename, different session
+    d1.mkdir(parents=True); d2.mkdir(parents=True)
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_singlecam.fit_eks_singlecam_sessions",
+        [(DF, [1.0], [], ["bp"]), (DF, [1.0], [], ["bp"])],
+    )
+    with patcher:
+        _run(["singlecam", "--sessions", str(d1), str(d2), "--s", "2.0"])
+    assert seen["save_files"] == [
+        str(d1 / "outputs" / "eks_singlecam.csv"),
+        str(d2 / "outputs" / "eks_singlecam.csv"),
+    ]
+    assert len(set(seen["save_files"])) == 2
+
+
+def test_cmd_ibl_pupil_sessions_default_save_next_to_inputs(tmp_path):
+    d1 = tmp_path / "x" / "sess"
+    d2 = tmp_path / "y" / "sess"
+    d1.mkdir(parents=True); d2.mkdir(parents=True)
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_ibl_pupil.fit_eks_pupil_sessions",
+        [(DF, [0.9, 0.95], [], ["bp"]), (DF, [0.9, 0.95], [], ["bp"])],
+    )
+    with patcher:
+        _run(["ibl-pupil", "--sessions", str(d1), str(d2)])
+    assert seen["save_files"] == [
+        str(d1 / "outputs" / "eks_ibl_pupil.csv"),
+        str(d2 / "outputs" / "eks_ibl_pupil.csv"),
+    ]
+
+
+def test_cmd_sessions_rejects_missing_directory(tmp_path):
+    with pytest.raises(ValueError, match="not a directory"):
+        _run(["singlecam", "--sessions", str(tmp_path / "missing")])
+
+
+@pytest.mark.parametrize("flags", [["--diameter-s", "0.9"], ["--com-s", "0.95"]])
+def test_cmd_ibl_pupil_warns_on_half_specified_s(tmp_path, caplog, flags):
+    """Giving only one of --diameter-s/--com-s silently meant fully-auto;
+    the CLI now says so (ADVICE r4). Applies to solo and sessions paths."""
+    import logging
+
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_ibl_pupil.fit_eks_pupil", (DF, [0.9, 0.95], [], ["bp"])
+    )
+    with patcher, caplog.at_level(logging.WARNING, logger="eks_tpu.cli"):
+        _run(["ibl-pupil", "--input-dir", str(tmp_path),
+              "--save-dir", str(tmp_path)] + flags)
+    assert any("unsupported" in r.message for r in caplog.records)
+
+    d1 = tmp_path / "s1"
+    d1.mkdir()
+    caplog.clear()
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_ibl_pupil.fit_eks_pupil_sessions",
+        [(DF, [0.9, 0.95], [], ["bp"])],
+    )
+    with patcher, caplog.at_level(logging.WARNING, logger="eks_tpu.cli"):
+        _run(["ibl-pupil", "--sessions", str(d1)] + flags)
+    assert any("unsupported" in r.message for r in caplog.records)
+
+
+def test_cmd_ibl_pupil_no_warning_when_both_or_neither(tmp_path, caplog):
+    import logging
+
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_ibl_pupil.fit_eks_pupil", (DF, [0.9, 0.95], [], ["bp"])
+    )
+    with patcher, caplog.at_level(logging.WARNING, logger="eks_tpu.cli"):
+        _run(["ibl-pupil", "--input-dir", str(tmp_path),
+              "--save-dir", str(tmp_path),
+              "--diameter-s", "0.9", "--com-s", "0.95"])
+        _run(["ibl-pupil", "--input-dir", str(tmp_path),
+              "--save-dir", str(tmp_path)])
+    assert not any("unsupported" in r.message for r in caplog.records)

@@ -267,3 +267,13 @@ def test_pupil_sessions_real_data_matches_solo():
         np.testing.assert_allclose(
             df_i.to_numpy(), solo_df.to_numpy(), rtol=1e-5, atol=1e-4
         )
+
+
+def test_pupil_sessions_empty_input_returns_empty():
+    """An empty session list returns [] instead of crashing in np.stack
+    with an opaque numpy error (ADVICE r4)."""
+    from eks_tpu.models.ibl_pupil import (
+        ensemble_kalman_smoother_ibl_pupil_sessions,
+    )
+
+    assert ensemble_kalman_smoother_ibl_pupil_sessions([]) == []

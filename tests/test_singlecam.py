@@ -203,3 +203,13 @@ def test_fit_eks_singlecam_sessions_e2e(tmp_path, rng):
         assert df.shape == (50, 2 * 9)
         assert len(input_dfs) == 3 and len(names) == 2
         np.testing.assert_array_equal(np.asarray(s_finals), [2.0, 2.0])
+
+
+def test_sessions_empty_input_returns_empty():
+    """An empty session list returns [] instead of crashing in np.stack
+    with an opaque numpy error (ADVICE r4)."""
+    from eks_tpu.models.singlecam import (
+        ensemble_kalman_smoother_singlecam_sessions,
+    )
+
+    assert ensemble_kalman_smoother_singlecam_sessions([], []) == []
