@@ -118,6 +118,65 @@ def paw_auto():
     _save("paw_right", dfs[1])
 
 
+# --- fast-tier scenarios: the same bundled sessions cropped to 200 frames
+# through tests/integration/cropping.py (the tests crop with the SAME helper,
+# so both sides consume byte-identical inputs), all fixed-s so each test runs
+# in seconds on CPU. These goldens back tests/integration/test_golden_fast.py,
+# the end-to-end parity gate inside `pytest -m "not slow"` (VERDICT r4 item 3).
+
+def _fast_session(name):
+    from tests.integration.cropping import make_cropped_session
+
+    return make_cropped_session(
+        os.path.join(DATA, name), os.path.join(TMP, f"fast_{name}")
+    )
+
+
+def fast_singlecam_fixed():
+    df, _, _, _ = fit_eks_singlecam(
+        input_source=_fast_session("singlecam"), save_file=f"{TMP}/o.csv",
+        smooth_param=2.0)
+    _save("fast_singlecam_fixed", df)
+
+
+def fast_mirrored_fixed():
+    df, _, _, _ = fit_eks_mirrored_multicam(
+        input_source=_fast_session("mirrored"), save_file=f"{TMP}/o.csv",
+        camera_names=["top", "bot"], smooth_param=3.0)
+    _save("fast_mirrored_fixed", df)
+
+
+def fast_mirrored_inflate_fixed():
+    df, _, _, _ = fit_eks_mirrored_multicam(
+        input_source=_fast_session("mirrored"), save_file=f"{TMP}/o.csv",
+        camera_names=["top", "bot"], smooth_param=3.0, inflate_vars=True)
+    _save("fast_mirrored_inflate_fixed", df)
+
+
+def fast_multicam_cal_fixed():
+    src = _fast_session("multicam")
+    dfs, _, _, _, df3d = fit_eks_multicam(
+        input_source=src, save_dir=TMP,
+        calibration=f"{src}/calibration.toml", smooth_param=10.0)
+    _save("fast_multicam_cal_cam0", dfs[0])
+    _save("fast_multicam_cal_3d", df3d)
+
+
+def fast_pupil_fixed():
+    df, _, _, _ = fit_eks_pupil(
+        input_source=_fast_session("pupil"), save_file=f"{TMP}/o.csv",
+        smooth_params=[0.99, 0.98])
+    _save("fast_pupil_fixed", df)
+
+
+def fast_paw_fixed():
+    dfs, _, _, _ = fit_eks_multicam_ibl_paw(
+        input_source=_fast_session("paw"), save_dir=TMP, smooth_param=4.0,
+        var_mode="var")
+    _save("fast_paw_left", dfs[0])
+    _save("fast_paw_right", dfs[1])
+
+
 def ref_singlecam_fixed():
     df, _, _, _ = fit_eks_singlecam(
         input_source=f"{REF}/ibl-pupil", save_file=f"{TMP}/o.csv",
@@ -172,6 +231,17 @@ def ref_fly_cal():
     _save("ref_fly_cal_3d", df3d)
 
 
+def ref_pupil_fixed():
+    # real-data fixed-s pupil golden (VERDICT r4 item 4): pins the pupil
+    # output path (C quirks, index quirks, TV-R smoothing) at the tight
+    # atol=1e-4 contract on the real 2000-frame session, bypassing the
+    # optimizer-trajectory drift that forces ref_pupil_auto to 1e-2
+    df, _, _, _ = fit_eks_pupil(
+        input_source=f"{REF}/ibl-pupil", save_file=f"{TMP}/o.csv",
+        smooth_params=[0.99, 0.98])
+    _save("ref_pupil_fixed", df)
+
+
 def ref_pupil_auto():
     df, s, _, _ = fit_eks_pupil(
         input_source=f"{REF}/ibl-pupil", save_file=f"{TMP}/o.csv",
@@ -191,9 +261,11 @@ def ref_paw_fixed():
 SCENARIOS = [
     singlecam_fixed, singlecam_auto, mirrored_fixed, mirrored_auto_inflate,
     multicam_cal, pupil_auto, pupil_fixed, paw_auto,
+    fast_singlecam_fixed, fast_mirrored_fixed, fast_mirrored_inflate_fixed,
+    fast_multicam_cal_fixed, fast_pupil_fixed, fast_paw_fixed,
     ref_singlecam_fixed, ref_singlecam_auto, ref_mirrored_fixed,
     ref_separate_fixed, ref_separate_auto_inflate, ref_separate_inflate_fixed,
-    ref_fly_cal, ref_pupil_auto, ref_paw_fixed,
+    ref_fly_cal, ref_pupil_fixed, ref_pupil_auto, ref_paw_fixed,
 ]
 
 

@@ -234,6 +234,23 @@ def test_ref_fly_calibrated_fixed_s(tmp_path, golden):
     golden("ref_fly_cal_3d", df3d)
 
 
+def test_ref_pupil_fixed_s(tmp_path, golden):
+    """Real-data pupil parity at the TIGHT contract (VERDICT r4 weak 5 /
+    item 4): with s pinned at the reference's init [0.99, 0.98] there is no
+    optimizer trajectory to drift, so the full pupil output path — the 8x3 C
+    geometry, the (i,i)/(i+1,i+1) posterior-variance index quirk, TV-R
+    smoothing, the ensemble-median column reorder — must match the
+    reference's own output on the real 2000-frame session at atol=1e-4."""
+    from eks_tpu import fit_eks_pupil
+
+    df, _, _, _ = fit_eks_pupil(
+        input_source=f"{REF}/ibl-pupil",
+        save_file=str(tmp_path / "o.csv"),
+        smooth_params=[0.99, 0.98],
+    )
+    golden("ref_pupil_fixed", df)
+
+
 def test_ref_pupil_auto_s(tmp_path, golden):
     import json
 
