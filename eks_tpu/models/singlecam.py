@@ -315,12 +315,12 @@ def ensemble_kalman_smoother_singlecam_sessions(
             else:
                 merged_param.extend([float(p)] * k_counts[i])
 
-    # flat positional names keep duplicate cross-session keypoints distinct
-    # in the merged frame; outputs are re-labeled per session below
-    flat_names = [f"s{i}_{n}" for i, ns in enumerate(keypoint_names) for n in ns]
-    merged_df, s_all = ensemble_kalman_smoother_singlecam(
+    # one merged (T, sum(K_s), 9) table; per-session DataFrames slice the
+    # numpy array directly (building a merged wide DataFrame and .iloc-
+    # copying per session measured ~0.3s of pandas overhead at 4 stacked
+    # headline sessions — most of what the batched optimizer saved)
+    final_np, s_all = _singlecam_smooth_table(
         marker_array=stacked,
-        keypoint_names=flat_names,
         smooth_param=merged_param,
         s_frames=s_frames,
         blocks=merged_blocks,
@@ -331,13 +331,16 @@ def ensemble_kalman_smoother_singlecam_sessions(
         prep=prep,
     )
 
+    n_frames = final_np.shape[0]
     n_labels = len(OUTPUT_LABELS)
     results = []
     s_all = np.asarray(s_all)
     for i, names in enumerate(keypoint_names):
         lo, hi = int(offsets[i]), int(offsets[i + 1])
-        sub = merged_df.iloc[:, lo * n_labels: hi * n_labels].copy()
-        sub.columns = make_dlc_pandas_index(names, labels=OUTPUT_LABELS)
+        sub = pd.DataFrame(
+            final_np[:, lo:hi, :].reshape(n_frames, (hi - lo) * n_labels),
+            columns=make_dlc_pandas_index(names, labels=OUTPUT_LABELS),
+        )
         results.append((sub, s_all[lo:hi]))
     return results
 
@@ -373,6 +376,43 @@ def ensemble_kalman_smoother_singlecam(
 
     Returns:
         (markers_df, s_finals) — DataFrame with 9 labels per keypoint.
+    """
+    import time as _time
+
+    final_np, s_finals = _singlecam_smooth_table(
+        marker_array, smooth_param, s_frames, blocks, avg_mode, var_mode,
+        devices, partition, prep,
+    )
+    n_frames, n_keypoints = final_np.shape[:2]
+
+    _t0 = _time.perf_counter()
+    pdindex = make_dlc_pandas_index(keypoint_names, labels=OUTPUT_LABELS)
+    markers_df = pd.DataFrame(
+        final_np.reshape(n_frames, n_keypoints * len(OUTPUT_LABELS)),
+        columns=pdindex,
+    )
+    logger.debug(f"[timing] host table assembly (singlecam): {_time.perf_counter() - _t0:.3f}s")
+    return markers_df, s_finals
+
+
+def _singlecam_smooth_table(
+    marker_array: MarkerArray,
+    smooth_param: float | list | None = None,
+    s_frames: list | None = None,
+    blocks: list = [],
+    avg_mode: Literal["mean", "median"] = "median",
+    var_mode: Literal["var", "confidence_weighted_var"] = "confidence_weighted_var",
+    devices: int | None = None,
+    partition: Literal["keypoint", "time"] = "keypoint",
+    prep: Literal["host", "device"] = "host",
+) -> tuple:
+    """The full singlecam pipeline up to (but not including) the pandas
+    table: returns ``(final_np (T, K, 9) in OUTPUT_LABELS order, s_finals)``.
+
+    Split out so the multi-session path can slice per-session blocks
+    directly from the numpy table — building one merged wide DataFrame and
+    ``.iloc``-copying per session measured ~0.3s of pure pandas overhead at
+    4 stacked headline sessions, most of what the batched optimizer saved.
     """
     import time as _time
 
@@ -480,15 +520,7 @@ def ensemble_kalman_smoother_singlecam(
             axis=-1,
         )  # (T, K, 9)
 
-    _t0 = _time.perf_counter()
-
-    pdindex = make_dlc_pandas_index(keypoint_names, labels=OUTPUT_LABELS)
-    markers_df = pd.DataFrame(
-        final_np.reshape(n_frames, n_keypoints * len(OUTPUT_LABELS)),
-        columns=pdindex,
-    )
-    logger.debug(f"[timing] host table assembly (singlecam): {_time.perf_counter() - _t0:.3f}s")
-    return markers_df, s_finals
+    return final_np, s_finals
 
 
 @jax.jit

@@ -222,3 +222,34 @@ def test_joint_optimizer_loop_matches_vmapped_semantics(monkeypatch):
     np.testing.assert_array_equal(np.asarray(iv), np.asarray(ij))
     np.testing.assert_allclose(np.asarray(sv), np.asarray(sj), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(lv), np.asarray(lj), rtol=0, atol=0)
+
+
+def test_nanmedian_small_bit_parity_with_jnp(rng):
+    """The compare-exchange nanmedian (used for the ensemble consensus;
+    ~40x faster than XLA:CPU's generic sort on the models axis) must be
+    BIT-identical to jnp.nanmedian for every ensemble size, NaN pattern,
+    and inf placement — the reference's own ensemble runs jnp.nanmedian,
+    and test_ref_inflation_bit_parity depends on exact agreement."""
+    import jax
+    import jax.numpy as jnp
+
+    from eks_tpu.core import _nanmedian_small
+
+    for m in (1, 2, 3, 4, 5, 6, 8, 16):
+        for nan_frac in (0.0, 0.35, 0.9, 1.0):
+            a = (rng.normal(size=(m, 23, 7)) * 50).astype(np.float32)
+            a[rng.uniform(size=a.shape) < nan_frac] = np.nan
+            got = np.asarray(jax.jit(_nanmedian_small)(a))
+            want = np.asarray(jnp.nanmedian(a, axis=0))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"m={m} nan_frac={nan_frac}"
+            )
+    # real +inf observations coexist with NaN sentinels
+    a = np.array(
+        [[np.inf, 1.0], [1.0, np.nan], [np.nan, np.nan], [2.0, -np.inf],
+         [np.inf, np.nan]],
+        np.float32,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(_nanmedian_small(a)), np.asarray(jnp.nanmedian(a, axis=0))
+    )
