@@ -602,12 +602,8 @@ def bench_sessions(rng, n_sessions=4):
     # belongs to the pupil family (per-run overhead dominates there).
     try:
         b_up, b_down = _headline_transfer_bytes()
-        b_up, b_down = n_sessions * b_up, n_sessions * b_down
-        up_bw, down_bw, lat = _link()
-        floor = b_up / up_bw + b_down / down_bw + 2 * lat
-        out["bytes_up_mb"] = round(b_up / 1e6, 2)
-        out["bytes_down_mb"] = round(b_down / 1e6, 2)
-        out["transfer_floor_s"] = round(floor, 4)
+        floor, fields = _floor_fields(n_sessions * b_up, n_sessions * b_down)
+        out.update(fields)
         out["transfer_floor_fraction"] = round(floor / t_batched, 3)
         out["vs_sequential_transfer_bound"] = round(t_seq / floor, 2)
     except Exception as e:
@@ -1553,16 +1549,15 @@ def measure_roofline(marker_arr, headline_elapsed, headline_iters):
     bytes, the floor those imply, and device-only stage times with XLA
     flop/byte counts against the v5e peaks."""
     up_bw, down_bw, lat = _link()
-    b_up, b_down = _headline_transfer_bytes()
-    floor = b_up / up_bw + b_down / down_bw + 2 * lat
+    floor, floor_fields = _floor_fields(*_headline_transfer_bytes())
     opt_s, smooth_s, cost = measure_compute_stages(marker_arr)
     out = {
         "link_up_gbps": round(up_bw / 1e9, 3),
         "link_down_gbps": round(down_bw / 1e9, 3),
         "link_roundtrip_ms": round(lat * 1e3, 2),
-        "headline_bytes_up_mb": round(b_up / 1e6, 2),
-        "headline_bytes_down_mb": round(b_down / 1e6, 2),
-        "transfer_floor_s": round(floor, 4),
+        "headline_bytes_up_mb": floor_fields["bytes_up_mb"],
+        "headline_bytes_down_mb": floor_fields["bytes_down_mb"],
+        "transfer_floor_s": floor_fields["transfer_floor_s"],
         "headline_elapsed_s": round(headline_elapsed, 4),
         "transfer_floor_fraction": round(floor / headline_elapsed, 3),
         "headline_joint_iters": headline_iters,
@@ -1609,6 +1604,27 @@ def measure_roofline(marker_arr, headline_elapsed, headline_iters):
     return out
 
 
+def _synthetic_pupil_problem(rng, frames: int = 10_000):
+    """Synthetic centered pupil problem (y (T, 8), r (T, 8), m0, S0) —
+    the ONE builder shared by the bench's per-iteration roofline and the
+    profiling scripts (scripts/profile_pupil_iter.py imports it), so both
+    always measure the same problem."""
+    com = rng.normal(size=(frames, 2)).cumsum(axis=0).astype(np.float32) * 0.05
+    diam = (20 + rng.normal(size=frames).cumsum() * 0.01).astype(np.float32)
+    y = np.zeros((frames, 8), np.float32)
+    # top/bottom/right/left encoding per the fixed pupil C geometry
+    y[:, 0], y[:, 1] = com[:, 0], com[:, 1] - diam / 2
+    y[:, 2], y[:, 3] = com[:, 0], com[:, 1] + diam / 2
+    y[:, 4], y[:, 5] = com[:, 0] + diam / 2, com[:, 1]
+    y[:, 6], y[:, 7] = com[:, 0] - diam / 2, com[:, 1]
+    y += rng.normal(size=y.shape).astype(np.float32) * 0.3
+    y -= y.mean(axis=0, keepdims=True)
+    r = (np.abs(rng.normal(size=(frames, 8))) * 0.1 + 0.05).astype(np.float32)
+    m0 = np.zeros(3, np.float32)
+    S0 = np.diag([10.0, 5.0, 5.0]).astype(np.float32)
+    return y, r, m0, S0
+
+
 def measure_pupil_iter():
     """Per-iteration cost of the pupil joint Adam loop (VERDICT r4 item 6),
     by the slope between two forced iteration caps (tol=0) — subtracting
@@ -1625,23 +1641,11 @@ def measure_pupil_iter():
 
     from eks_tpu.models.ibl_pupil import PUPIL_C, _pupil_optimize_jit
 
-    rng = np.random.default_rng(0)
-    frames = 10_000
-    com = rng.normal(size=(frames, 2)).cumsum(axis=0).astype(np.float32) * 0.05
-    diam = (20 + rng.normal(size=frames).cumsum() * 0.01).astype(np.float32)
-    y = np.zeros((frames, 8), np.float32)
-    y[:, 0], y[:, 1] = com[:, 0], com[:, 1] - diam / 2
-    y[:, 2], y[:, 3] = com[:, 0], com[:, 1] + diam / 2
-    y[:, 4], y[:, 5] = com[:, 0] + diam / 2, com[:, 1]
-    y[:, 6], y[:, 7] = com[:, 0] - diam / 2, com[:, 1]
-    y += rng.normal(size=y.shape).astype(np.float32) * 0.3
-    y -= y.mean(axis=0, keepdims=True)
-    r = (np.abs(rng.normal(size=(frames, 8))) * 0.1 + 0.05).astype(np.float32)
+    y, r, m0_np, S0_np = _synthetic_pupil_problem(np.random.default_rng(0))
     u0 = np.log(np.array([0.99, 0.98]) / (1 - np.array([0.99, 0.98])))
     args = (
-        jnp.asarray(y), jnp.asarray(r), jnp.asarray(np.zeros(3, np.float32)),
-        jnp.asarray(np.diag([10.0, 5.0, 5.0]).astype(np.float32)),
-        jnp.asarray(PUPIL_C), jnp.asarray(u0),
+        jnp.asarray(y), jnp.asarray(r), jnp.asarray(m0_np),
+        jnp.asarray(S0_np), jnp.asarray(PUPIL_C), jnp.asarray(u0),
     )
 
     def run(cap):
@@ -1671,11 +1675,11 @@ def _family_transfer_bytes(name: str):
     ms (K, T, 3) + Vs (K, T, 3, 3) f32. The inflation fixed point itself is
     host-side BLAS by design (sklearn bit parity) and never rides the link.
 
-    multicam_calibrated (bench_multicam_calibrated: T=10000, K=10, C=2,
-    M=5) runs the fused device path: upload = the raw x/y/likelihood planes
-    (M, C, T, K, 3) f32; downloads = the packaged (C, T, K, 4) camera block
-    + the (T, K*6) 3-D table (the ensemble stats are recomputed host-side
-    and never pulled)."""
+    multicam_calibrated (bench_multicam_calibrated via _calibrated_rig:
+    T=10000, K=5, C=3, M=5) runs the fused device path: upload = the raw
+    x/y/likelihood planes (M, C, T, K, 3) f32; downloads = the packaged
+    (C, T, K, 4) camera block + the (T, K*6) 3-D table (the ensemble stats
+    are recomputed host-side and never pulled)."""
     f32 = 4
     if name == "multicam_inflate":
         t, k, c = 5_000, 5, 2
@@ -1683,11 +1687,24 @@ def _family_transfer_bytes(name: str):
         down = k * t * 3 * f32 + k * t * 9 * f32
         return up, down
     if name == "multicam_calibrated":
-        t, k, c, m = 10_000, 10, 2, 5
+        t, k, c, m = 10_000, 5, 3, 5
         up = m * c * t * k * 3 * f32
         down = c * t * k * 4 * f32 + t * k * 6 * f32
         return up, down
     raise KeyError(name)
+
+
+def _floor_fields(b_up: float, b_down: float) -> tuple[float, dict]:
+    """One shared floor model for every accounting site: bytes over the
+    measured link each way plus a round-trip of latency per direction.
+    Returns (floor_seconds, populated-field dict)."""
+    up_bw, down_bw, lat = _link()
+    floor = b_up / up_bw + b_down / down_bw + 2 * lat
+    return floor, {
+        "bytes_up_mb": round(b_up / 1e6, 2),
+        "bytes_down_mb": round(b_down / 1e6, 2),
+        "transfer_floor_s": round(floor, 4),
+    }
 
 
 def _measure_inflate_host_stage():
@@ -1733,17 +1750,13 @@ def augment_family_rooflines(families: dict, measure_host: bool = True):
     the measured host-stage share and the vs_baseline bound it implies
     (baseline seconds / irreducible seconds) — the family is host-BLAS
     bound, not link bound."""
-    up_bw, down_bw, lat = _link()
     for name in ("multicam_inflate", "multicam_calibrated"):
         e = families.get(name)
         if not isinstance(e, dict) or not e.get("value"):
             continue
         elapsed = FAMILY_UNITS[name] / e["value"]
-        b_up, b_down = _family_transfer_bytes(name)
-        floor = b_up / up_bw + b_down / down_bw + 2 * lat
-        e["bytes_up_mb"] = round(b_up / 1e6, 2)
-        e["bytes_down_mb"] = round(b_down / 1e6, 2)
-        e["transfer_floor_s"] = round(floor, 4)
+        floor, fields = _floor_fields(*_family_transfer_bytes(name))
+        e.update(fields)
         e["transfer_floor_fraction"] = round(floor / elapsed, 3)
 
     e = families.get("multicam_inflate")
@@ -1815,11 +1828,11 @@ def _compact_summary() -> dict:
             )
             for name, v in fams.items()
         }
-    for k in ("sessions4", "pupil_sessions8", "pupil_sessions_sweep"):
+    for k in ("sessions4", "pupil_sessions8"):
         v = RESULT.get(k)
         if isinstance(v, dict):
             out[k] = {kk: v[kk] for kk in
-                      ("value", "vs_sequential", "n_sessions", "sweep")
+                      ("value", "vs_sequential", "n_sessions")
                       if kk in v}
         elif v is not None:
             out[k] = v
@@ -1832,7 +1845,7 @@ def _compact_summary() -> dict:
         out["note"] = str(RESULT["note"])[:160]
     out["full_result"] = "outputs/bench_full.json"
     # belt-and-braces: drop optional fields until the line fits
-    for k in ("note", "metric", "pupil_sessions_sweep", "families"):
+    for k in ("note", "metric", "families"):
         if len(json.dumps(out)) <= 1500:
             break
         out.pop(k, None)

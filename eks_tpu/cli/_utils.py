@@ -40,10 +40,12 @@ def sessions_save_files(session_dirs, save_dir, prefix: str) -> list[str]:
     """Resolve per-session output CSV paths for ``--sessions`` mode.
 
     With ``--save-dir``, every session's CSV goes there as
-    ``{prefix}_{dirname}.csv``. Without it, each session's CSV is written
-    next to its own input directory (``<session_dir>/outputs/{prefix}.csv``)
-    — a single shared default directory keyed by basename would silently
-    collide when two sessions share a directory name (ADVICE r4).
+    ``{prefix}_{dirname}.csv`` — unless two sessions share a directory
+    basename, in which case every file gains the session's position
+    (``{prefix}_{i}_{dirname}.csv``) so no session silently overwrites
+    another. Without ``--save-dir``, each session's CSV is written next to
+    its own input directory (``<session_dir>/outputs/{prefix}.csv``), which
+    cannot collide (ADVICE r4).
     """
     for d in session_dirs:
         if not Path(d).is_dir():
@@ -59,7 +61,12 @@ def sessions_save_files(session_dirs, save_dir, prefix: str) -> list[str]:
         return files
     out = Path(save_dir)
     out.mkdir(parents=True, exist_ok=True)
-    return [str(out / f"{prefix}_{Path(d).name}.csv") for d in session_dirs]
+    names = [Path(d).name for d in session_dirs]
+    if len(set(names)) != len(names):
+        return [
+            str(out / f"{prefix}_{i}_{n}.csv") for i, n in enumerate(names)
+        ]
+    return [str(out / f"{prefix}_{n}.csv") for n in names]
 
 
 def parse_s_frames(text: str) -> list[tuple[int | None, int | None]]:

@@ -28,20 +28,16 @@ T = 10_000
 
 
 def problem(rng):
-    com = rng.normal(size=(T, 2)).cumsum(axis=0).astype(np.float32) * 0.05
-    diam = (20 + rng.normal(size=T).cumsum() * 0.01).astype(np.float32)
-    y = np.zeros((T, 8), np.float32)
-    # top/bottom/right/left encoding per PUPIL_C geometry
-    y[:, 0], y[:, 1] = com[:, 0], com[:, 1] - diam / 2
-    y[:, 2], y[:, 3] = com[:, 0], com[:, 1] + diam / 2
-    y[:, 4], y[:, 5] = com[:, 0] + diam / 2, com[:, 1]
-    y[:, 6], y[:, 7] = com[:, 0] - diam / 2, com[:, 1]
-    y += rng.normal(size=y.shape).astype(np.float32) * 0.3
-    y -= y.mean(axis=0, keepdims=True)
-    r = (np.abs(rng.normal(size=(T, 8))) * 0.1 + 0.05).astype(np.float32)
-    m0 = np.zeros(3, np.float32)
-    S0 = np.diag([10.0, 5.0, 5.0]).astype(np.float32)
-    return y, r, m0, S0
+    """Delegates to the bench's canonical builder so the script and the
+    bench roofline always measure the same problem."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_problem", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._synthetic_pupil_problem(rng, T)
 
 
 def run(y, r, m0, S0, cap, fused):

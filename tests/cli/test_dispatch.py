@@ -303,3 +303,24 @@ def test_cmd_ibl_pupil_no_warning_when_both_or_neither(tmp_path, caplog):
         _run(["ibl-pupil", "--input-dir", str(tmp_path),
               "--save-dir", str(tmp_path)])
     assert not any("unsupported" in r.message for r in caplog.records)
+
+
+def test_cmd_sessions_save_dir_disambiguates_basename_collisions(tmp_path):
+    """With --save-dir, two sessions sharing a directory basename must not
+    map to the same output CSV (the second write would silently clobber the
+    first); colliding batches gain the session index in every filename."""
+    d1 = tmp_path / "a" / "session"
+    d2 = tmp_path / "b" / "session"
+    d1.mkdir(parents=True); d2.mkdir(parents=True)
+    seen, patcher = _capture(
+        "eks_tpu.cli.cmd_singlecam.fit_eks_singlecam_sessions",
+        [(DF, [1.0], [], ["bp"]), (DF, [1.0], [], ["bp"])],
+    )
+    with patcher:
+        _run(["singlecam", "--sessions", str(d1), str(d2),
+              "--save-dir", str(tmp_path), "--s", "2.0"])
+    assert seen["save_files"] == [
+        str(tmp_path / "eks_singlecam_0_session.csv"),
+        str(tmp_path / "eks_singlecam_1_session.csv"),
+    ]
+    assert len(set(seen["save_files"])) == 2
