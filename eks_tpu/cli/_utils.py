@@ -36,6 +36,25 @@ def handle_io(input_dir, save_dir) -> Path:
     return Path(save_dir)
 
 
+def resolve_input(args) -> tuple:
+    """Resolve a command's ``(input_source, input_dir)`` from --input-dir /
+    --input-files (shared by all five subcommands; previously copy-pasted).
+
+    ``input_source`` is what the fit_* wrapper consumes (a directory path or
+    the file list); ``input_dir`` anchors the default save directory.
+    """
+    input_source = (
+        args.input_dir if args.input_dir is not None else args.input_files
+    )
+    if isinstance(input_source, str):
+        return input_source, Path(input_source).resolve()
+    if not input_source:
+        raise ValueError(
+            "no input given: pass --input-dir DIR or --input-files FILE..."
+        )
+    return input_source, Path(input_source[0]).resolve().parent
+
+
 def sessions_save_files(session_dirs, save_dir, prefix: str) -> list[str]:
     """Resolve per-session output CSV paths for ``--sessions`` mode.
 

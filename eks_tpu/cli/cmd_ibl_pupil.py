@@ -8,6 +8,7 @@ from pathlib import Path
 import logging
 
 from eks_tpu.cli._utils import (
+    resolve_input,
     add_com_s,
     add_common_args,
     add_devices,
@@ -68,11 +69,7 @@ def cmd_ibl_pupil(args: argparse.Namespace) -> None:
         _cmd_ibl_pupil_sessions(args)
         return
 
-    input_source = args.input_dir if args.input_dir is not None else args.input_files
-    if isinstance(input_source, str):
-        input_dir = Path(input_source).resolve()
-    else:
-        input_dir = Path(input_source[0]).resolve().parent
+    input_source, input_dir = resolve_input(args)
 
     save_dir = handle_io(input_dir, args.save_dir)
     save_file = save_dir / (args.save_filename or "eks_ibl_pupil.csv")

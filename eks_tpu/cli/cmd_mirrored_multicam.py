@@ -6,6 +6,7 @@ import argparse
 from pathlib import Path
 
 from eks_tpu.cli._utils import (
+    resolve_input,
     add_bodyparts,
     add_camera_names,
     add_common_args,
@@ -37,11 +38,7 @@ def register(subparsers: argparse._SubParsersAction) -> None:
 
 
 def cmd_mirrored_multicam(args: argparse.Namespace) -> None:
-    input_source = args.input_dir if args.input_dir is not None else args.input_files
-    if isinstance(input_source, str):
-        input_dir = Path(input_source).resolve()
-    else:
-        input_dir = Path(input_source[0]).resolve().parent
+    input_source, input_dir = resolve_input(args)
 
     save_dir = handle_io(input_dir, args.save_dir)
     save_file = save_dir / (args.save_filename or "eks_mirrored_multicam.csv")

@@ -7,6 +7,7 @@ import logging
 from pathlib import Path
 
 from eks_tpu.cli._utils import (
+    resolve_input,
     add_bodyparts,
     add_calibration,
     add_camera_names,
@@ -50,11 +51,7 @@ def cmd_multicam(args: argparse.Namespace) -> None:
             "names are taken from the TOML"
         )
 
-    input_source = args.input_dir if args.input_dir is not None else args.input_files
-    if isinstance(input_source, str):
-        input_dir = Path(input_source).resolve()
-    else:
-        input_dir = Path(input_source[0]).resolve().parent
+    input_source, input_dir = resolve_input(args)
 
     save_dir = handle_io(input_dir, args.save_dir)
 

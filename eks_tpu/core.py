@@ -421,40 +421,13 @@ def _optimize_blocks(
     )
 
 
-def _optimize_blocks_joint(
-    yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init,
-    lr, s_lo, s_hi, tol, safety_cap,
-):
-    """Joint while-loop twin of the vmapped optimizer for the linear
-    constant-diag-R case: every iteration evaluates ONE lane-batched plane
-    NLL over all n_blocks*B_max member sequences
-    (ops/pkalman.py:filter_nll_parallel_planes_batched), so the Pallas scan
-    runs KB lanes per grid step instead of being serialized one lane per
-    grid step by vmap's batching rule.
-
-    Semantics are the batching rule's: bodies run for every lane each joint
-    iteration, and a lane's carry (s, Adam state incl. per-lane count, loss,
-    iteration count, done flag) only commits while that lane is active.
-    The LOOP is bitwise-identical to ``vmap(optimize_one)`` (pinned by
-    tests/test_core.py with an injected loss); shipped iterates differ from
-    the vmapped twin at float level (~1e-5 rel) because the loss
-    implementation differs too — plane NLL here, generic filter there.
-    """
-    n_blocks, b_max = yB.shape[:2]
-    n_flat = n_blocks * b_max
-
-    def flat(x):
-        return x.reshape((n_flat,) + x.shape[2:])
-
-    yF, rF, m0F, S0F, AF, CF = map(flat, (yB, rB, m0B, S0B, AB, CB))
-    maskF = flat(maskB)
-
-    def loss_vec(s_log):  # (n_blocks,) -> per-block masked member-NLL sums
-        s = jnp.exp(jnp.clip(s_log, s_lo, s_hi))
-        sQ = flat(s[:, None, None, None] * QB)
-        lls = filter_nll_parallel_planes_batched(yF, m0F, S0F, AF, sQ, CF, rF)
-        nll = jnp.where(jnp.isfinite(lls), -lls, 1e12)
-        return jnp.sum((nll * maskF).reshape(n_blocks, b_max), axis=1)
+def _joint_masked_adam(loss_vec, s_log_init, n_blocks, dtype,
+                       lr, tol, safety_cap):
+    """The joint masked-Adam ``while_loop`` shared by the linear and EKF
+    block optimizers (and mirrored by the pupil sessions loop): per-lane
+    Adam state, ``vmap(while_loop)``-equivalent masked carries, the
+    reference stop rule (eks/core.py:513-549). Trace-identical to the two
+    copies it replaced — same primitives in the same order."""
 
     def loss_and_grad(s_log):
         # per-block losses depend only on their own s, so the Jacobian is
@@ -495,12 +468,52 @@ def _optimize_blocks_joint(
     init = (
         s_log_init,
         opt_state0,
-        jnp.full((n_blocks,), jnp.inf, dtype=yB.dtype),
+        jnp.full((n_blocks,), jnp.inf, dtype=dtype),
         jnp.zeros((n_blocks,), dtype=jnp.int32),
         jnp.zeros((n_blocks,), dtype=bool),
     )
     s_log_f, _, last_loss, iters_f, _ = lax.while_loop(cond, body, init)
     return s_log_f, last_loss, iters_f
+
+
+def _optimize_blocks_joint(
+    yB, rB, m0B, S0B, AB, QB, CB, maskB, s_log_init,
+    lr, s_lo, s_hi, tol, safety_cap,
+):
+    """Joint while-loop twin of the vmapped optimizer for the linear
+    constant-diag-R case: every iteration evaluates ONE lane-batched plane
+    NLL over all n_blocks*B_max member sequences
+    (ops/pkalman.py:filter_nll_parallel_planes_batched), so the Pallas scan
+    runs KB lanes per grid step instead of being serialized one lane per
+    grid step by vmap's batching rule.
+
+    Semantics are the batching rule's: bodies run for every lane each joint
+    iteration, and a lane's carry (s, Adam state incl. per-lane count, loss,
+    iteration count, done flag) only commits while that lane is active.
+    The LOOP is bitwise-identical to ``vmap(optimize_one)`` (pinned by
+    tests/test_core.py with an injected loss); shipped iterates differ from
+    the vmapped twin at float level (~1e-5 rel) because the loss
+    implementation differs too — plane NLL here, generic filter there.
+    """
+    n_blocks, b_max = yB.shape[:2]
+    n_flat = n_blocks * b_max
+
+    def flat(x):
+        return x.reshape((n_flat,) + x.shape[2:])
+
+    yF, rF, m0F, S0F, AF, CF = map(flat, (yB, rB, m0B, S0B, AB, CB))
+    maskF = flat(maskB)
+
+    def loss_vec(s_log):  # (n_blocks,) -> per-block masked member-NLL sums
+        s = jnp.exp(jnp.clip(s_log, s_lo, s_hi))
+        sQ = flat(s[:, None, None, None] * QB)
+        lls = filter_nll_parallel_planes_batched(yF, m0F, S0F, AF, sQ, CF, rF)
+        nll = jnp.where(jnp.isfinite(lls), -lls, 1e12)
+        return jnp.sum((nll * maskF).reshape(n_blocks, b_max), axis=1)
+
+    return _joint_masked_adam(
+        loss_vec, s_log_init, n_blocks, yB.dtype, lr, tol, safety_cap
+    )
 
 
 def _optimize_blocks_ekf_joint(
@@ -547,49 +560,9 @@ def _optimize_blocks_ekf_joint(
         nll = jnp.where(jnp.isfinite(lls), -lls, 1e12)
         return jnp.sum((nll * maskF).reshape(n_blocks, b_max), axis=1)
 
-    def loss_and_grad(s_log):
-        return jax.jvp(loss_vec, (s_log,), (jnp.ones_like(s_log),))
-
-    opt = optax.adam(1.0)
-    opt_state0 = vmap(opt.init)(s_log_init)
-
-    def cond(carry):
-        _, _, _, iters, done = carry
-        return jnp.any(jnp.logical_and(~done, iters < safety_cap))
-
-    def body(carry):
-        s_log, opt_state, prev_loss, iters, done = carry
-        active = jnp.logical_and(~done, iters < safety_cap)
-        loss, grad = loss_and_grad(s_log)
-        updates, new_state = vmap(opt.update)(grad * lr, opt_state)
-        s_new = optax.apply_updates(s_log, updates)
-        rel_tol = tol * jnp.abs(jnp.log(jnp.maximum(prev_loss, 1e-12)))
-        stop = jnp.where(
-            jnp.isfinite(prev_loss),
-            jnp.abs(loss - prev_loss) < (rel_tol + 1e-6),
-            False,
-        )
-
-        def sel(new, old):
-            return jnp.where(active, new, old)
-
-        return (
-            sel(s_new, s_log),
-            jax.tree_util.tree_map(sel, new_state, opt_state),
-            sel(loss, prev_loss),
-            sel(iters + 1, iters),
-            sel(stop, done),
-        )
-
-    init = (
-        s_log_init,
-        opt_state0,
-        jnp.full((n_blocks,), jnp.inf, dtype=yB.dtype),
-        jnp.zeros((n_blocks,), dtype=jnp.int32),
-        jnp.zeros((n_blocks,), dtype=bool),
+    return _joint_masked_adam(
+        loss_vec, s_log_init, n_blocks, yB.dtype, lr, tol, safety_cap
     )
-    s_log_f, _, last_loss, iters_f, _ = lax.while_loop(cond, body, init)
-    return s_log_f, last_loss, iters_f
 
 
 def optimize_smooth_param(
@@ -639,6 +612,15 @@ def optimize_smooth_param(
     h_fn = _as_traceable_emission(h_fn)
     if not blocks:
         blocks = [[k] for k in range(K)]
+    else:
+        # a PARTIAL block list must not leave keypoints unoptimized: the
+        # reference leaves their s as uninitialized np.empty memory
+        # (eks/core.py:239 with a partial list — undefined behavior, no
+        # golden covers it); here every unlisted keypoint becomes its own
+        # singleton block, matching the sessions-merge semantics
+        # (models/singlecam.py merged_blocks)
+        listed = {k for b in blocks for k in b}
+        blocks = list(blocks) + [[k] for k in range(K) if k not in listed]
     logger.debug(f"keypoint block structure for shared s: {blocks}")
 
     on_device = isinstance(ensemble_vars, jnp.ndarray) and not s_frames and mesh is None

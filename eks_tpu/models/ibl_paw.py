@@ -10,6 +10,7 @@ to the linear multicam smoother with the likelihood filter disabled.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Literal, Sequence
 
@@ -26,6 +27,8 @@ __all__ = [
     "add_camera_means",
 ]
 
+logger = logging.getLogger(__name__)
+
 BODYPART_LIST = ["paw_l", "paw_r"]
 CAMERA_NAMES = ["left", "right"]
 
@@ -34,8 +37,9 @@ def remove_camera_means(
     ensemble_stacks: list[np.ndarray],
     camera_means: Sequence,
 ) -> list[np.ndarray]:
-    """Subtract per-camera means from column ``camera_id`` of each stack."""
-    out = ensemble_stacks.copy()
+    """Subtract per-camera means from column ``camera_id`` of each stack.
+    Returns new arrays; the caller's inputs are never written to."""
+    out = [np.array(a) for a in ensemble_stacks]
     for k in range(len(ensemble_stacks)):
         for cam_id, cam_mean in enumerate(camera_means):
             out[k][:, cam_id] = ensemble_stacks[k][:, cam_id] - cam_mean
@@ -46,8 +50,8 @@ def add_camera_means(
     ensemble_stacks: list[np.ndarray],
     camera_means: Sequence,
 ) -> list[np.ndarray]:
-    """Inverse of :func:`remove_camera_means`."""
-    out = ensemble_stacks.copy()
+    """Inverse of :func:`remove_camera_means`. Returns new arrays."""
+    out = [np.array(a) for a in ensemble_stacks]
     for k in range(len(ensemble_stacks)):
         for cam_id, cam_mean in enumerate(camera_means):
             out[k][:, cam_id] = ensemble_stacks[k][:, cam_id] + cam_mean
@@ -86,6 +90,19 @@ def fit_eks_multicam_ibl_paw(
     for filename in os.listdir(input_source):
         path = os.path.join(input_source, filename)
         if "timestamps" not in filename:
+            # reference contract (eks/ibl_paw_multicam_smoother.py:144-163):
+            # every non-timestamps file is a prediction CSV, and anything
+            # without 'left' in its name is treated as right-camera — warn
+            # when that catch-all is doing real work so a stray file does
+            # not silently corrupt the right ensemble
+            if "left" not in filename and "right" not in filename:
+                logger.warning(
+                    "file %r has neither 'left' nor 'right' in its name; "
+                    "treating it as a RIGHT-camera prediction CSV (reference "
+                    "semantics) — remove it from the input directory if that "
+                    "is not intended",
+                    filename,
+                )
             df = pd.read_csv(path, header=[0, 1, 2], index_col=0)
             df = convert_lp_dlc(df, BODYPART_LIST)
             if "left" in filename:
@@ -146,6 +163,20 @@ def fit_eks_multicam_ibl_paw(
         [pd.DataFrame(arr, columns=keys) for arr in left_per_model],
         [pd.DataFrame(arr, columns=keys) for arr in right_per_model],
     ]
+
+    if var_mode != "var":
+        # the likelihood field below is dummy zeros, so the
+        # confidence-weighted variance divides by zero and saturates at
+        # float32 max — the reference's default does the same
+        # (eks/ibl_paw_multicam_smoother.py:86 with its zero dummy field),
+        # so the default is kept for parity, but flag it loudly
+        logger.warning(
+            "fit_eks_multicam_ibl_paw: var_mode=%r divides by the paw "
+            "family's dummy zero likelihoods, saturating every ensemble "
+            "variance at float32 max (reference-parity behavior); pass "
+            "var_mode='var' for meaningful variances",
+            var_mode,
+        )
 
     marker_array = input_dfs_to_markerArray(
         input_dfs_list, BODYPART_LIST, CAMERA_NAMES, data_fields=["x", "y"]

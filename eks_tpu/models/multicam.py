@@ -128,6 +128,10 @@ def fit_eks_mirrored_multicam(
     camera_model_dfs = [[None] * n_models for _ in range(n_cameras)]
     for m, df in enumerate(input_dfs_list):
         for c, camera in enumerate(camera_names):
+            # replace-ALL is deliberate: it is the reference's own column
+            # transform (eks/multicam_smoother.py:117-119), including its
+            # behavior on bodyparts whose names contain the camera substring
+            # ('nose_top' + camera 'top' -> 'nose') — goldens pin it
             cols = {
                 col: col.replace(f"_{camera}", "")
                 for col in df.columns
@@ -342,6 +346,9 @@ def ensemble_kalman_smoother_multicam(
     # optional Mahalanobis variance inflation
     _t0 = time.perf_counter()
     if inflate_vars:
+        # never mutate the caller's kwargs dict (a reused dict would find
+        # its fitted 'mean' silently zeroed on the next call)
+        inflate_vars_kwargs = dict(inflate_vars_kwargs)
         if inflate_vars_kwargs.get("mean", None) is not None:
             # centered predictions are passed in, so the latent mean is zero
             inflate_vars_kwargs["mean"] = np.zeros_like(inflate_vars_kwargs["mean"])
@@ -1044,7 +1051,7 @@ def mA_compute_maha(
     emA_vars: MarkerArray,
     emA_likes: MarkerArray,
     n_latent: int,
-    inflate_vars_kwargs: dict = {},
+    inflate_vars_kwargs: dict | None = None,
     threshold: float = 5.0,
     scalar: float = 10.0,
 ) -> MarkerArray:
@@ -1054,6 +1061,8 @@ def mA_compute_maha(
     (reference: eks/multicam_smoother.py:653-721)."""
     _, n_cameras, _, n_keypoints, _ = centered_emA_preds.shape
 
+    # copy so neither a shared default nor the caller's dict is mutated
+    inflate_vars_kwargs = dict(inflate_vars_kwargs or {})
     inflate_vars_kwargs.setdefault("likelihood_threshold", 0.9)
     inflate_vars_kwargs.setdefault("v_quantile_threshold", 50.0)
 

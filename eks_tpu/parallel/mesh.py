@@ -226,7 +226,10 @@ def _optimize_and_smooth_sharded_impl(
     K = ys.shape[0]
 
     vars_clipped = np.clip(np.asarray(ensemble_vars), 1e-12, None)
-    r_const = np.clip(np.median(vars_clipped, axis=1), min_R_var, np.inf)  # (K, O)
+    # nanmedian, matching the core path's constant-R twin (core.py
+    # _constant_r_from_vars): np.clip propagates NaN, and a plain median
+    # would poison the whole loss into the 1e12 penalty
+    r_const = np.clip(np.nanmedian(vars_clipped, axis=1), min_R_var, np.inf)  # (K, O)
     if s_log_init is None:
         s_log_init = np.zeros(K, dtype=np.float32)
 

@@ -276,10 +276,11 @@ def _randomized_svd(
     n_oversamples: int = 10,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Halko-style randomized truncated SVD reproducing sklearn's
-    ``randomized_svd`` stream: Gaussian sketch from ``rng``, LU-normalized
-    power iterations (sklearn's 'auto' normalizer for n_iter > 2), one final
-    QR, and a u-based sign flip. Matching the stream bit-for-bit is what pins
-    the variance-inflation fixed point to the reference's
+    ``randomized_svd`` stream: Gaussian sketch from ``rng``, power
+    iterations under sklearn's 'auto' normalizer rule (un-normalized for
+    n_iter <= 2, LU beyond — sklearn's ``_randomized_range_finder``), one
+    final QR, and a u-based sign flip. Matching the stream bit-for-bit is
+    what pins the variance-inflation fixed point to the reference's
     (reference FA entry point: eks/stats.py:114-117)."""
     n_random = n_components + n_oversamples
     n_samples, n_features = M.shape
@@ -287,9 +288,10 @@ def _randomized_svd(
     if transpose:
         M = M.T
     Q = rng.normal(size=(M.shape[1], n_random))
+    normalize = _plu_factor if n_iter > 2 else (lambda x: x)
     for _ in range(n_iter):
-        Q = _plu_factor(M @ Q)
-        Q = _plu_factor(M.T @ Q)
+        Q = normalize(M @ Q)
+        Q = normalize(M.T @ Q)
     Q = _qr_q(M @ Q)
     B = Q.T @ M
     Uhat, s, Vt = np.linalg.svd(B, full_matrices=False)

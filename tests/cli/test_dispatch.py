@@ -324,3 +324,20 @@ def test_cmd_sessions_save_dir_disambiguates_basename_collisions(tmp_path):
         str(tmp_path / "eks_singlecam_1_session.csv"),
     ]
     assert len(set(seen["save_files"])) == 2
+
+
+def test_resolve_input_empty_file_list_clear_error():
+    """An empty --input-files list (argparse rejects it on the CLI, but
+    library callers can build such a Namespace) used to raise IndexError
+    deep in the handler; resolve_input gives an actionable message."""
+    import argparse
+
+    from eks_tpu.cli._utils import resolve_input
+
+    ns = argparse.Namespace(input_dir=None, input_files=[])
+    with pytest.raises(ValueError, match="no input given"):
+        resolve_input(ns)
+    src, d = resolve_input(
+        argparse.Namespace(input_dir="/tmp", input_files=None)
+    )
+    assert src == "/tmp" and str(d) == "/tmp"

@@ -253,3 +253,32 @@ def test_nanmedian_small_bit_parity_with_jnp(rng):
     np.testing.assert_array_equal(
         np.asarray(_nanmedian_small(a)), np.asarray(jnp.nanmedian(a, axis=0))
     )
+
+
+def test_partial_blocks_fill_unlisted_keypoints(rng):
+    """A PARTIAL blocks list must not leave keypoints unoptimized (the
+    reference's behavior is uninitialized np.empty memory — undefined);
+    unlisted keypoints become their own singleton blocks (round-5
+    self-review, confirmed finding)."""
+    import jax.numpy as jnp
+
+    from eks_tpu.core import run_kalman_smoother
+
+    K, T = 4, 120
+    # keypoints 2-3 get very different dynamics than 0-1 so their optimized
+    # s cannot coincide with block [0, 1]'s shared value
+    ys = np.zeros((K, T, 2), dtype=np.float32)
+    ys[:2] = rng.normal(size=(2, T, 2)).cumsum(axis=1) * 2.0
+    ys[2:] = rng.normal(size=(2, T, 2)) * 0.01
+    ev = np.abs(rng.normal(size=(T, K, 2))).astype(np.float32) * 0.2 + 0.05
+    eye = np.tile(np.eye(2, dtype=np.float32), (K, 1, 1))
+    s, ms, _ = run_kalman_smoother(
+        ys=ys, m0s=np.zeros((K, 2), np.float32), S0s=eye, As=eye, Cs=eye,
+        Qs=eye, ensemble_vars=ev, blocks=[[0, 1]], safety_cap=60,
+    )
+    s = np.asarray(s, dtype=float)
+    assert np.isfinite(s).all()
+    assert s[0] == s[1]  # the listed block shares one s
+    # unlisted keypoints were optimized on their own data, not garbage
+    assert s[2] != s[0] and s[3] != s[0]
+    assert np.isfinite(np.asarray(ms)).all()

@@ -93,3 +93,21 @@ def test_fit_paw_e2e(tmp_path):
     assert len(s) == 2 and np.isfinite(s).all()
     for df in dfs:
         assert np.isfinite(df.to_numpy()).all()
+
+
+def test_camera_means_helpers_do_not_mutate_inputs(rng):
+    """remove/add_camera_means return NEW arrays; the shallow list.copy()
+    previously wrote through to the caller's ndarrays (round-5 self-review)."""
+    from eks_tpu.models.ibl_paw import add_camera_means, remove_camera_means
+
+    stacks = [rng.normal(size=(20, 2)) for _ in range(3)]
+    originals = [s.copy() for s in stacks]
+    means = [1.5, -2.0]
+    removed = remove_camera_means(stacks, means)
+    for s, o in zip(stacks, originals):
+        np.testing.assert_array_equal(s, o)
+    added = add_camera_means(removed, means)
+    for s, o in zip(stacks, originals):
+        np.testing.assert_array_equal(s, o)
+    for a, o in zip(added, originals):
+        np.testing.assert_allclose(a, o, atol=1e-12)

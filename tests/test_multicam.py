@@ -386,3 +386,34 @@ def test_fit_eks_multicam_fly_calibrated_e2e(tmp_path):
         arr = df.to_numpy()
         assert np.isfinite(arr).all()
     assert np.isfinite(df3d.to_numpy()).all()
+
+
+def test_inflate_vars_kwargs_never_mutated(rng):
+    """Neither mA_compute_maha nor the smoother may write into the caller's
+    kwargs dict: a reused dict with a fitted 'mean' was silently zeroed on
+    the next call (round-5 self-review)."""
+    from eks_tpu.models.multicam import mA_compute_maha
+
+    ma = make_multicam_array(rng)
+    from eks_tpu.core import ensemble
+    from eks_tpu.utils import center_predictions
+
+    emA = ensemble(ma)
+    _, cent, _, _ = center_predictions(emA, 50.0)
+    fitted_mean = np.full(4, 7.5)
+    kwargs = {"likelihood_threshold": 0.95, "mean": fitted_mean.copy()}
+    snapshot = dict(kwargs)
+
+    mA_compute_maha(
+        cent, emA.slice_fields("var_x", "var_y"),
+        emA.slice_fields("likelihood"), 2, inflate_vars_kwargs=kwargs,
+    )
+    assert set(kwargs) == set(snapshot)  # no setdefault leakage
+    np.testing.assert_array_equal(kwargs["mean"], fitted_mean)
+
+    ensemble_kalman_smoother_multicam(
+        ma, KPS, CAMS, smooth_param=3.0, inflate_vars=True,
+        inflate_vars_kwargs=kwargs, n_latent=2,
+    )
+    assert set(kwargs) == set(snapshot)
+    np.testing.assert_array_equal(kwargs["mean"], fitted_mean)

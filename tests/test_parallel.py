@@ -455,3 +455,24 @@ def test_singlecam_sessions_under_mesh(rng):
         np.testing.assert_allclose(
             df_m.to_numpy(), df_1.to_numpy(), atol=1e-3, rtol=1e-5
         )
+
+
+def test_sharded_optimizer_nan_vars_use_nanmedian(rng):
+    """NaN entries in ensemble_vars must not poison the sharded optimizer's
+    constant-R reduction (np.median propagated them, pinning the loss at
+    the 1e12 penalty so s silently stayed at its init; round-5 self-review)."""
+    ys, m0s, S0s, As, Qs, Cs, ev = _toy(rng, K=4)
+    ev_nan = ev.copy()
+    ev_nan[::7, 1, :] = np.nan  # scattered NaN frames on one keypoint
+    mesh = make_mesh(4)
+    s_nan, _, _ = optimize_and_smooth_sharded(
+        ys, m0s, S0s, As, Qs, Cs, ev_nan, mesh=mesh
+    )
+    s_ref, _, _ = optimize_and_smooth_sharded(
+        ys, m0s, S0s, As, Qs, Cs, ev, mesh=mesh
+    )
+    assert np.isfinite(np.asarray(s_nan)).all()
+    # the unaffected keypoints optimize identically; the NaN keypoint still
+    # converges to a data-driven value (not exp(s_log_init) = 1.0 exactly)
+    np.testing.assert_allclose(np.asarray(s_nan)[[0, 2, 3]],
+                               np.asarray(s_ref)[[0, 2, 3]], rtol=1e-6)

@@ -116,13 +116,21 @@ def test_randomized_svd_matches_sklearn_stream(rng):
     from eks_tpu.stats import _randomized_svd
 
     X = rng.normal(size=(300, 6))
-    u, s, vt = _randomized_svd(X, 3, n_iter=3, rng=np.random.RandomState(7))
-    u2, s2, vt2 = sk_rsvd(
-        X, 3, n_iter=3, random_state=7, power_iteration_normalizer="LU"
-    )
-    np.testing.assert_allclose(s, s2, atol=1e-12)
-    np.testing.assert_allclose(vt, vt2, atol=1e-12)
-    np.testing.assert_allclose(u, u2, atol=1e-12)
+    # sklearn's 'auto' normalizer skips normalization for n_iter <= 2 and
+    # uses LU beyond (sklearn.utils.extmath._randomized_range_finder);
+    # FactorAnalysis exposes iterated_power, so every branch must match —
+    # compare against sklearn's OWN 'auto' mode across the rule boundary
+    for n_iter in (1, 2, 3, 4):
+        u, s, vt = _randomized_svd(
+            X, 3, n_iter=n_iter, rng=np.random.RandomState(7)
+        )
+        u2, s2, vt2 = sk_rsvd(
+            X, 3, n_iter=n_iter, random_state=7,
+            power_iteration_normalizer="auto",
+        )
+        np.testing.assert_allclose(s, s2, atol=1e-12, err_msg=f"n_iter={n_iter}")
+        np.testing.assert_allclose(vt, vt2, atol=1e-12, err_msg=f"n_iter={n_iter}")
+        np.testing.assert_allclose(u, u2, atol=1e-12, err_msg=f"n_iter={n_iter}")
 
 
 # ----------------------------- Mahalanobis ----------------------------- #
