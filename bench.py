@@ -1559,6 +1559,10 @@ def measure_roofline(marker_arr, headline_elapsed, headline_iters):
         "headline_bytes_down_mb": floor_fields["bytes_down_mb"],
         "transfer_floor_s": floor_fields["transfer_floor_s"],
         "headline_elapsed_s": round(headline_elapsed, 4),
+        # can exceed 1.0 when the tunnel degrades between the headline
+        # measurement and this link probe (the floor then reflects a slower
+        # link than the headline actually ran on) — a variance signal, not
+        # an accounting error
         "transfer_floor_fraction": round(floor / headline_elapsed, 3),
         "headline_joint_iters": headline_iters,
         "optimizer_device_s": round(opt_s, 4),
