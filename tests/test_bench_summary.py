@@ -167,3 +167,46 @@ def test_emit_writes_full_result_and_prints_compact(bench, tmp_path, capsys,
     assert len(stdout) <= 2000
     parsed = json.loads(stdout.strip().splitlines()[-1])
     assert parsed["value"] == 25661.2 and parsed["vs_baseline"] == 68.7
+
+
+def test_family_roofline_accounting(bench, monkeypatch):
+    """Byte accounting for the two flagged families matches their actual
+    bench workloads (multicam_calibrated is K=5/C=3 via _calibrated_rig —
+    a K=10/C=2 figure overstated its floor ~1.4x, round-5 self-review),
+    and the floor fields populate from one shared link measurement."""
+    monkeypatch.setattr(bench, "_LINK_CACHE", (0.1e9, 0.04e9, 0.026))
+    fams = {
+        "multicam_inflate": {"value": 8354.2, "baseline_cpu_s": 11.5},
+        "multicam_calibrated": {"value": 17533.3},
+        "ibl_paw": {"value": 40000.0},  # not flagged: must stay untouched
+        "multicam_linear": "error: TimeoutError",  # non-dict: skipped
+    }
+    bench.augment_family_rooflines(fams, measure_host=False)
+
+    cal = fams["multicam_calibrated"]
+    # up = M*C*T*K*3 f32 = 5*3*10000*5*3*4 = 9 MB;
+    # down = C*T*K*4 f32 + T*K*6 f32 = 2.4 + 1.2 = 3.6 MB
+    assert cal["bytes_up_mb"] == 9.0
+    assert cal["bytes_down_mb"] == 3.6
+    expected_floor = 9e6 / 0.1e9 + 3.6e6 / 0.04e9 + 2 * 0.026
+    assert abs(cal["transfer_floor_s"] - round(expected_floor, 4)) < 1e-9
+    elapsed = 10_000 / 17533.3
+    assert cal["transfer_floor_fraction"] == round(expected_floor / elapsed, 3)
+
+    inf = fams["multicam_inflate"]
+    # up = 2 * K*T*2C f32 = 2*5*5000*4*4 = 0.8 MB; down = (3+9)*K*T f32 = 1.2 MB
+    assert inf["bytes_up_mb"] == 0.8
+    assert inf["bytes_down_mb"] == 1.2
+
+    assert fams["ibl_paw"] == {"value": 40000.0}
+    assert fams["multicam_linear"] == "error: TimeoutError"
+
+
+def test_floor_fields_single_formula(bench, monkeypatch):
+    monkeypatch.setattr(bench, "_LINK_CACHE", (1e9, 0.5e9, 0.01))
+    floor, fields = bench._floor_fields(2e6, 1e6)
+    assert abs(floor - (2e-3 + 2e-3 + 0.02)) < 1e-12
+    assert fields == {
+        "bytes_up_mb": 2.0, "bytes_down_mb": 1.0,
+        "transfer_floor_s": round(floor, 4),
+    }
