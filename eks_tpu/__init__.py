@@ -35,6 +35,12 @@ def _resolve_version() -> str:
 __version__ = _resolve_version()
 
 
+def __dir__() -> list:
+    # lazy attributes must still appear in dir()/tab-completion, matching
+    # the reference's discoverable surface
+    return sorted(set(globals()) | set(__all__))
+
+
 def __getattr__(name: str) -> Any:
     # lazy imports keep `import eks_tpu` light and avoid pandas/jax costs
     # until a smoother is actually used

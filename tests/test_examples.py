@@ -80,3 +80,19 @@ def test_paw_example(tmp_path):
     assert len(dfs) == 2
     assert dfs[0].shape[0] == 400  # all left frames inside right range
     assert np.isfinite(dfs[0].to_numpy()).all()
+
+
+def test_public_api_discoverable_and_superset_of_reference():
+    """Every public entry point is importable AND visible in dir() despite
+    lazy imports; the five reference entry points are all present."""
+    import eks_tpu
+
+    for name in eks_tpu.__all__:
+        assert getattr(eks_tpu, name) is not None
+        assert name in dir(eks_tpu), f"{name} missing from dir()"
+    for ref_name in (
+        "MarkerArray", "fit_eks_singlecam", "fit_eks_multicam",
+        "fit_eks_mirrored_multicam", "fit_eks_pupil",
+        "fit_eks_multicam_ibl_paw",
+    ):
+        assert ref_name in eks_tpu.__all__
