@@ -59,7 +59,25 @@ def _bound_compile_cache_growth():
     jax.clear_caches()
 
 
+#: XLA:CPU segfaults (SIGSEGV/abort inside backend_compile_and_load or the
+#: persistent-cache loader) when roughly the 18th distinct mesh/SPMD
+#: program is compiled or cache-loaded between two jax.clear_caches()
+#: calls -- diagnosed 2026-08-21 by bisection: tests/test_parallel.py was
+#: green for four rounds at 16 such programs, appending two more made the
+#: LAST test in the module crash regardless of which test that was, and
+#: in-module reordering only moved the victim. The per-module clear (the
+#: _bound_compile_cache_growth fixture) resets the accumulation, so mesh-
+#: heavy modules must stay below the threshold (the round-5 additions live
+#: in tests/test_parallel_sessions.py for exactly this reason); this
+#: periodic clear additionally bounds any future module that grows past it.
+_CLEAR_EVERY_N_TESTS = 12
+_test_counter = {"n": 0}
+
+
 def pytest_runtest_setup(item):
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _CLEAR_EVERY_N_TESTS == 0:
+        jax.clear_caches()
     # optional RSS trace for diagnosing memory-correlated crashes:
     #   EKS_TPU_RSS_LOG=/tmp/rss.log pytest tests/
     path = os.environ.get("EKS_TPU_RSS_LOG")
