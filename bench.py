@@ -597,9 +597,10 @@ def bench_sessions(rng, n_sessions=4):
     # removes only per-run latency/dispatch/loop overhead — vs_sequential
     # is bounded by t_seq over the irreducible transfer floor, and in
     # practice lands well below that because host prep and device compute
-    # are also linear in sessions. Measured: 1.2x on a fast link, ~1.9x on
-    # a slow one (round-trip-dominated); the 'batching wins big' framing
-    # belongs to the pupil family (per-run overhead dominates there).
+    # are also linear in sessions. Measured across link conditions:
+    # 1.07-2.36x (slower link -> bigger per-run overhead -> bigger batched
+    # win); the 'batching wins big' framing belongs to the pupil family
+    # (per-run overhead dominates there).
     try:
         b_up, b_down = _headline_transfer_bytes()
         floor, fields = _floor_fields(n_sessions * b_up, n_sessions * b_down)
