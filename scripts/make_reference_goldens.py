@@ -270,7 +270,18 @@ SCENARIOS = [
 
 
 def main():
-    wanted = set(sys.argv[1:])
+    args = sys.argv[1:]
+    names = [fn.__name__ for fn in SCENARIOS]
+    wanted: set = set()
+    for a in args:
+        # prefix matching so `fast_` (or a shell-unexpanded `fast_*`)
+        # selects every fast-tier scenario; an argument matching nothing is
+        # an ERROR — silently running zero scenarios while exiting 0 let a
+        # typo masquerade as a successful regeneration (round-5 review)
+        hits = [n for n in names if n == a or n.startswith(a.rstrip("*"))]
+        if not hits:
+            sys.exit(f"unknown scenario {a!r}; available: {names}")
+        wanted.update(hits)
     failures = []
     for fn in SCENARIOS:
         if wanted and fn.__name__ not in wanted:

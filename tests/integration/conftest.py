@@ -49,16 +49,38 @@ def golden(request):
         exceeds it — each call site documents why."""
         path = os.path.join(GOLDEN_DIR, f"{name}.csv")
         if generate:
+            if os.path.exists(path):
+                # EVERY committed golden is an output of the actual
+                # reference implementation (scripts/make_reference_goldens
+                # .py); overwriting one with a self-snapshot would silently
+                # turn its reference-parity test into a self-consistency
+                # check (round-5 review finding). Generate mode therefore
+                # only bootstraps goldens for NEW scenarios.
+                pytest.skip(
+                    f"{name} exists and is reference-produced; regenerate "
+                    "it with scripts/make_reference_goldens.py, not "
+                    "--generate-golden"
+                )
             os.makedirs(GOLDEN_DIR, exist_ok=True)
             # %.17g round-trips float64 exactly; the default shortest-repr
             # formatting of float32 columns re-parses as float64 with ~6e-8
             # relative error, which breaks atol=1e-4 on large variances
             df.to_csv(path, float_format="%.17g")
-            return  # generation mode: write every golden the test produces
+            return  # generation mode: bootstrap any NEW goldens the test produces
         if not os.path.exists(path):
-            pytest.skip(f"golden missing: {path} (run --generate-golden)")
+            hint = (
+                "run scripts/make_reference_goldens.py"
+                if name.startswith(("ref_", "fast_"))
+                else "run --generate-golden"
+            )
+            pytest.skip(f"golden missing: {path} ({hint})")
         ref = pd.read_csv(path, header=[0, 1, 2], index_col=0)
         assert ref.shape == df.shape, f"{name}: shape {df.shape} != golden {ref.shape}"
+        # the column schema is part of the parity contract: positional value
+        # agreement must not paper over renamed/reordered output columns
+        got_cols = [tuple(map(str, c)) for c in df.columns]
+        ref_cols = [tuple(map(str, c)) for c in ref.columns]
+        assert got_cols == ref_cols, f"{name}: output column schema differs"
         np.testing.assert_allclose(
             df.to_numpy(), ref.to_numpy(), rtol=rtol, atol=atol,
             err_msg=f"golden mismatch: {name}",

@@ -9,8 +9,14 @@ EKF/RTS conventions:
     first observation is assimilated against the prior, no transition first;
   * the marginal log-likelihood is accumulated at the predictive stage:
     ``ll += log N(y_t; h(m_pred), H P_pred Hᵀ + R_t)``;
-  * gains come from Cholesky PSD solves; the covariance update is the plain
-    (non-Joseph) form ``P_pred − K S Kᵀ``;
+  * gains come from dynamax's ``psd_solve`` semantics — symmetrize plus an
+    ABSOLUTE 1e-9 diagonal boost before the Cholesky solve
+    (dynamax.utils.utils.psd_solve) — while the log-likelihood term uses a
+    plain no-jitter Cholesky (dynamax computes it via
+    tfd.MultivariateNormalFullCovariance). The boost is material on the
+    calibrated family's tiny 3-D world units: omitting it shifted the fly
+    goldens ~1e-3 px (round-5 review finding). The covariance update is
+    the plain (non-Joseph) form ``P_pred − K S Kᵀ``;
   * dynamics/emission functions are relinearised per step with ``jacfwd``
     (dynamics at the filtered mean, emission at the predicted mean);
   * ``emission_covariance`` may be constant ``(O, O)`` or time-varying
@@ -73,6 +79,15 @@ def _call1(fn: Callable, x: jnp.ndarray) -> jnp.ndarray:
     return fn(x)
 
 
+def _psd_solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """dynamax.utils.utils.psd_solve semantics: symmetrize and add an
+    absolute 1e-9 diagonal boost before the Cholesky solve. Used for the
+    Kalman and RTS GAIN solves only — the log-likelihood Cholesky stays
+    un-jittered (tfd.MultivariateNormalFullCovariance semantics)."""
+    a = 0.5 * (a + a.T) + 1e-9 * jnp.eye(a.shape[-1], dtype=a.dtype)
+    return cho_solve(cho_factor(a, lower=True), b)
+
+
 def _filter_scan(params: ParamsNLGSSM, emissions: jnp.ndarray):
     f = params.dynamics_function
     h = params.emission_function
@@ -96,7 +111,7 @@ def _filter_scan(params: ParamsNLGSSM, emissions: jnp.ndarray):
         logdet = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(cf[0]))))
         ll_t = -0.5 * (innov @ cho_solve(cf, innov) + logdet
                        + y_t.shape[-1] * _LOG2PI)
-        K = cho_solve(cf, H @ P_pred).T
+        K = _psd_solve(S, H @ P_pred).T
         m_filt = m_pred + K @ innov
         P_filt = P_pred - K @ S @ K.T
         F = jac_f(m_filt)
@@ -145,7 +160,7 @@ def extended_kalman_smoother(
         F = jac_f(m_f)
         m_pred = _call1(f, m_f)
         P_pred = F @ P_f @ F.T + Q
-        G = cho_solve(cho_factor(P_pred, lower=True), F @ P_f).T
+        G = _psd_solve(P_pred, F @ P_f).T
         m_s = m_f + G @ (m_next_s - m_pred)
         P_s = P_f + G @ (P_next_s - P_pred) @ G.T
         return (m_s, P_s), (m_s, P_s)
